@@ -1,0 +1,295 @@
+"""Temporal 3D Vision Transformer, TPU-first in flax.linen.
+
+Same math as the reference `Temporal3DViT` (`models/model.py:181-350`):
+3D patch embedding over (trial, freq, time) volumes, factorized positional
+embeddings, CLS token, pre-LN transformer blocks with LayerScale and
+linearly-decayed stochastic depth, and a GELU-MLP classification head —
+re-designed for XLA/TPU:
+
+  * Patch embedding is a reshape + single Dense (einsum) instead of Conv3d —
+    identical math (kernel=stride conv ≡ per-patch linear), but XLA lowers it
+    straight to one large MXU matmul with no im2col.
+  * Factorized positional embeddings are a broadcast add of three small
+    tables — XLA fuses this into the embedding epilogue.
+  * The attention core dispatches to a Pallas flash kernel on TPU
+    (`ops/attention.py`); attention-map readout for interpretability parity
+    (`get_attention_maps`, reference `models/model.py:325-350`) uses the XLA
+    path and `nn.Module.sow`.
+  * Matmuls run in `config.compute_dtype` (bfloat16 on TPU); parameters and
+    LayerNorm statistics stay float32.
+
+Stochastic regularization threads explicit PRNG state: pass
+`rngs={'dropout': key}` with `train=True`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_vit_tpu.core.config import Temporal3DViTConfig
+from neural_vit_tpu.ops.attention import multi_head_attention
+
+# Matches torch nn.init.trunc_normal_(std=0.02) closely enough (torch's
+# default truncation at ±2 absolute is ±100σ at this std, i.e. untruncated).
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _gelu(x):
+    # torch nn.GELU() default is the exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference `models/model.py:57-71`):
+    drop the entire residual branch for a sample with prob `rate`, rescale
+    survivors by 1/keep_prob."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep_prob = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(rng, keep_prob, shape)
+        return jnp.where(keep, x / keep_prob, 0.0).astype(x.dtype)
+
+
+class LayerScale(nn.Module):
+    """Learnable per-channel residual scaling γ (reference `model.py:74-82`)."""
+
+    dim: int
+    init_value: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused qkv projection
+    (reference `models/model.py:85-119`)."""
+
+    config: Temporal3DViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool,
+        store_attention: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        b, n, d = x.shape
+        h, dh = cfg.n_heads, cfg.head_dim
+        dtype = jnp.dtype(cfg.compute_dtype)
+
+        qkv = nn.Dense(
+            3 * d, use_bias=True, kernel_init=trunc_init,
+            dtype=dtype, param_dtype=jnp.dtype(cfg.param_dtype), name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        dropout_rng = None
+        if cfg.attention_dropout > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+
+        out, weights = multi_head_attention(
+            q, k, v,
+            scale=dh ** -0.5,
+            dropout_rate=cfg.attention_dropout,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+            use_flash=cfg.use_flash_attention and not store_attention,
+            return_weights=store_attention,
+        )
+        if store_attention and weights is not None:
+            # Pre-dropout softmax maps, as in the reference's
+            # get_attention_maps (model.py:345-347).
+            self.sow("intermediates", "attention", weights)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = nn.Dense(
+            d, kernel_init=trunc_init, dtype=dtype,
+            param_dtype=jnp.dtype(cfg.param_dtype), name="proj",
+        )(out)
+        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class MLP(nn.Module):
+    """Dense → GELU → Dropout → Dense → Dropout (reference `model.py:122-148`)."""
+
+    config: Temporal3DViTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        cfg = self.config
+        d = x.shape[-1]
+        hidden = int(d * cfg.mlp_ratio)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+        x = nn.Dense(hidden, kernel_init=trunc_init, dtype=dtype,
+                     param_dtype=pdtype, name="fc1")(x)
+        x = _gelu(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(d, kernel_init=trunc_init, dtype=dtype,
+                     param_dtype=pdtype, name="fc2")(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN block: x + DP(LS(Attn(LN x))) ; x + DP(LS(MLP(LN x)))
+    (reference `models/model.py:151-178`)."""
+
+    config: Temporal3DViTConfig
+    drop_path_rate: float
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, deterministic: bool, store_attention: bool = False
+    ) -> jax.Array:
+        cfg = self.config
+        ls = cfg.layer_scale_init
+        norm = lambda name: nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32,
+            param_dtype=jnp.dtype(cfg.param_dtype), name=name,
+        )
+        y = norm("norm1")(x).astype(jnp.dtype(cfg.compute_dtype))
+        y = Attention(cfg, name="attn")(y, deterministic, store_attention)
+        if ls > 0:
+            y = LayerScale(cfg.embed_dim, ls, name="ls1")(y)
+        y = DropPath(self.drop_path_rate, name="drop_path1")(y, deterministic)
+        x = x + y
+
+        y = norm("norm2")(x).astype(jnp.dtype(cfg.compute_dtype))
+        y = MLP(cfg, name="mlp")(y, deterministic)
+        if ls > 0:
+            y = LayerScale(cfg.embed_dim, ls, name="ls2")(y)
+        y = DropPath(self.drop_path_rate, name="drop_path2")(y, deterministic)
+        return x + y
+
+
+class Temporal3DViT(nn.Module):
+    """Full Temporal 3D ViT (reference `models/model.py:181-323`)."""
+
+    config: Temporal3DViTConfig
+
+    def setup(self):
+        self.config.validate()
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        train: bool = False,
+        store_attention: bool = False,
+    ) -> jax.Array:
+        """Args:
+            x: (B, K, F, T) or (B, 1, K, F, T) spectrogram volumes.
+            train: enables dropout/drop-path (requires 'dropout' rng).
+            store_attention: sow per-layer softmax maps into 'intermediates'
+                (forces the XLA attention path).
+
+        Returns:
+            (B, n_classes) float32 logits.
+        """
+        cfg = self.config
+        deterministic = not train
+        dtype = jnp.dtype(cfg.compute_dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+
+        if x.ndim == 5:  # (B, 1, K, F, T) → (B, K, F, T)
+            x = x[:, 0]
+        b = x.shape[0]
+        gk, gf, gt = cfg.grid_k, cfg.grid_f, cfg.grid_t
+        pk, pf, pt = cfg.patch_trial, cfg.patch_freq, cfg.patch_time
+
+        # Patch embedding: reshape to per-patch vectors + one Dense. The
+        # (pk, pf, pt) ordering matches Conv3d's kernel layout so checkpoints
+        # are interchangeable with the reference's conv weights.
+        x = x.reshape(b, gk, pk, gf, pf, gt, pt)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+            b, cfg.n_patches, cfg.patch_dim
+        )
+        x = nn.Dense(
+            cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
+            param_dtype=pdtype, name="patch_embed",
+        )(x.astype(dtype))
+
+        # Factorized positional embeddings (reference `model.py:276-285`):
+        # three learned tables broadcast-summed over the (K', F', T') grid.
+        pos_k = self.param("pos_embed_k", trunc_init, (gk, cfg.embed_dim), pdtype)
+        pos_f = self.param("pos_embed_f", trunc_init, (gf, cfg.embed_dim), pdtype)
+        pos_t = self.param("pos_embed_t", trunc_init, (gt, cfg.embed_dim), pdtype)
+        pos = (
+            pos_k[:, None, None, :] + pos_f[None, :, None, :]
+            + pos_t[None, None, :, :]
+        ).reshape(1, cfg.n_patches, cfg.embed_dim)
+        x = x + pos.astype(dtype)
+
+        cls = self.param("cls_token", trunc_init, (1, 1, cfg.embed_dim), pdtype)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.embed_dim)), x],
+            axis=1,
+        )
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        # Linear stochastic-depth decay (reference `model.py:227`).
+        dpr = np.linspace(0.0, cfg.drop_path, cfg.n_layers)
+        for i in range(cfg.n_layers):
+            x = TransformerBlock(
+                cfg, drop_path_rate=float(dpr[i]), name=f"block_{i}"
+            )(x, deterministic, store_attention)
+
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, param_dtype=pdtype, name="norm"
+        )(x)
+
+        # Classification head on the CLS token (reference `model.py:247-252`).
+        clsf = x[:, 0].astype(dtype)
+        clsf = nn.Dense(cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
+                        param_dtype=pdtype, name="head_fc1")(clsf)
+        clsf = _gelu(clsf)
+        clsf = nn.Dropout(cfg.dropout)(clsf, deterministic=deterministic)
+        logits = nn.Dense(cfg.n_classes, kernel_init=trunc_init,
+                          dtype=jnp.float32, param_dtype=pdtype,
+                          name="head_fc2")(clsf)
+        return logits.astype(jnp.float32)
+
+
+def attention_maps(
+    model: Temporal3DViT,
+    variables,
+    x: jax.Array,
+):
+    """Per-layer softmax attention maps for interpretability — functional
+    equivalent of the reference's `get_attention_maps` (model.py:325-350).
+
+    Returns a list of (B, H, N, N) arrays, one per transformer block
+    (eval mode: no dropout, pre-dropout weights).
+    """
+    _, state = model.apply(
+        variables, x, train=False, store_attention=True,
+        mutable=["intermediates"],
+    )
+    inter = state["intermediates"]
+    maps = []
+    i = 0
+    while f"block_{i}" in inter:
+        maps.append(inter[f"block_{i}"]["attn"]["attention"][0])
+        i += 1
+    return maps

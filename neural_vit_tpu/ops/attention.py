@@ -1,0 +1,80 @@
+"""Multi-head scaled-dot-product attention with a Pallas flash kernel path.
+
+The reference materializes the full O(N²) attention matrix per head
+(`models/model.py:106-119`). On TPU we dispatch between:
+
+  * `flash`: a Pallas blockwise-softmax kernel (`ops/flash_attention.py`)
+    that never materializes N² in HBM — used on TPU when no attention-weight
+    readout is requested.
+  * `xla`: a reference einsum + softmax path — used on CPU, for parity tests,
+    and when per-head attention maps are requested (interpretability parity
+    with `get_attention_maps`, reference `models/model.py:325-350`).
+
+Both paths produce identical math (flash path verified against xla in
+tests/test_flash_attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    return_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Reference attention. q/k/v: (B, H, N, Dh). Returns (out, weights?)."""
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1)
+    attn = weights.astype(q.dtype)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    return out, (weights if return_weights else None)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    use_flash: bool = True,
+    return_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Dispatching attention core. q/k/v: (B, H, N, Dh)."""
+    if return_weights or not use_flash or not _on_tpu():
+        return xla_attention(
+            q, k, v, scale, dropout_rate, deterministic, dropout_rng,
+            return_weights,
+        )
+    from neural_vit_tpu.ops.flash_attention import flash_attention
+
+    out = flash_attention(
+        q, k, v, scale=scale,
+        dropout_rate=dropout_rate if not deterministic else 0.0,
+        dropout_rng=dropout_rng,
+    )
+    return out, None

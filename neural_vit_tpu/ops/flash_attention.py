@@ -1,0 +1,298 @@
+"""Pallas TPU fused attention (flash attention) with custom VJP.
+
+Replaces the reference's materialized O(N²) attention
+(`models/model.py:106-119`): per grid step we compute one query block's
+(Bq × N) logits entirely in VMEM, take a numerically-stable softmax, and
+multiply into V — the full B·H·N² probability tensor never touches HBM in
+either the forward or backward pass. For this model family N is short
+(513 tokens at default dims, ~2k at production spectrogram dims), so K/V for
+one (batch, head) fit comfortably in VMEM and a single-pass row-block softmax
+is both simpler and faster than multi-block online softmax.
+
+Attention-probability dropout (reference `Attention.attn_drop`) runs
+*inside* the kernel via the TPU PRNG: the keep mask is a pure function of
+(seed, batch·head, q-block) and is regenerated bit-identically in the
+backward kernel, so the train path stays fused end-to-end.
+
+Backward follows the standard flash decomposition per query block
+(the softmax normalizer is recomputed rather than stored — the score block
+is already being recomputed, so saving lse would only add HBM traffic):
+    P  = softmax(S)              (recomputed, never stored)
+    dV += (P∘M)ᵀ dO
+    dP = (dO Vᵀ)∘M
+    dS = P ∘ (dP - rowsum(dP∘P))
+    dQ = dS K · scale,   dK += dSᵀ Q · scale
+with dK/dV accumulated across sequential TPU grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kv_mask(n_valid: int, n_pad: int, bq: int):
+    """(1, n_pad) additive mask: 0 for real keys, -inf for padding."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
+    return jnp.where(col < n_valid, 0.0, _NEG_INF).astype(jnp.float32)
+
+
+def _hash_bits(shape, seed):
+    """Counter-based uint32 bits (murmur3-style finalizer over row/col iota).
+
+    A pure function of (seed, element position): the backward kernel
+    regenerates the exact forward mask with no stored state, and the same
+    code runs under Mosaic on TPU and the Pallas interpreter on CPU (the
+    dedicated TPU PRNG primitive has no CPU lowering).
+    """
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * jnp.uint32(0x9E3779B1)) ^ (c * jnp.uint32(0x85EBCA6B))
+    x = x + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _dropout_keep(shape, rate: float, seed):
+    """Inverted-dropout keep multiplier: 1/(1-p) with prob (1-p), else 0."""
+    bits = _hash_bits(shape, seed)
+    threshold = jnp.uint32(int(rate * (2 ** 32)))
+    keep = bits >= threshold
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                scale: float, n_valid: int, dropout_rate: float):
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)          # (Bq, Dh)
+    k = k_ref[0].astype(jnp.float32)          # (Nk, Dh)
+    v = v_ref[0].astype(jnp.float32)
+    bq, n_pad = q.shape[0], k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                  # (Bq, Nk)
+    s = s + _kv_mask(n_valid, n_pad, bq)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        seed = seed_ref[0] + bh * pl.num_programs(1) + qi
+        p = p * _dropout_keep(p.shape, dropout_rate, seed)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *,
+                scale: float, n_valid: int, dropout_rate: float):
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)           # (Bq, Dh)
+    k = k_ref[0].astype(jnp.float32)           # (Nk, Dh)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)         # (Bq, Dh)
+    bq, n_pad = q.shape[0], k.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + _kv_mask(n_valid, n_pad, bq)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (Bq, Nk) — exact fwd probs
+
+    if dropout_rate > 0.0:
+        # Same per-program seed as forward ⇒ bit-identical mask.
+        seed = seed_ref[0] + bh * pl.num_programs(1) + qi
+        keep = _dropout_keep(p.shape, dropout_rate, seed)
+        p_drop = p * keep
+    else:
+        keep = None
+        p_drop = p
+
+    dp_drop = jax.lax.dot_general(             # dO Vᵀ: (Bq, Nk)
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = dp_drop * keep if keep is not None else dp_drop
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)                      # (Bq, Nk)
+
+    dq_ref[0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale).astype(dq_ref.dtype)
+
+    dk_part = jax.lax.dot_general(             # dSᵀ Q: (Nk, Dh)
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    dv_part = jax.lax.dot_general(             # P̃ᵀ dO: (Nk, Dh)
+        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_part.astype(dk_ref.dtype)
+    dv_ref[0] += dv_part.astype(dv_ref.dtype)
+
+
+def _pick_block_q(n_pad: int) -> int:
+    """Largest power-of-two block ≤ 512 that divides n_pad (n_pad is always a
+    multiple of 128, so 128 is a guaranteed fallback)."""
+    for bq in (512, 256, 128):
+        if n_pad % bq == 0:
+            return bq
+    return n_pad
+
+
+def _flash_call(q, k, v, seed, *, scale, dropout_rate, interpret):
+    """q/k/v: (BH, N, Dh) → out."""
+    bh_dim, n, dh = q.shape
+    n_pad = _ceil_to(n, 128)
+    bq = _pick_block_q(n_pad)
+    n_q = n_pad // bq
+    if n_pad != n:
+        pad = [(0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+
+    grid = (bh_dim, n_q)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
+        interpret=interpret,
+    )(seed, q, k, v)
+    return out[:, :n, :]
+
+
+def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
+    bh_dim, n, dh = q.shape
+    n_pad = _ceil_to(n, 128)
+    bq = _pick_block_q(n_pad)
+    n_q = n_pad // bq
+    if n_pad != n:
+        pad = [(0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
+
+    grid = (bh_dim, n_q)
+    kernel = functools.partial(
+        _bwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v, do)
+    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 6)
+)
+def _flash_core(q, k, v, scale, dropout_rate, seed, interpret):
+    return _flash_call(
+        q, k, v, seed, scale=scale, dropout_rate=dropout_rate,
+        interpret=interpret,
+    )
+
+
+def _flash_core_fwd(q, k, v, scale, dropout_rate, seed, interpret):
+    out = _flash_call(
+        q, k, v, seed, scale=scale, dropout_rate=dropout_rate,
+        interpret=interpret,
+    )
+    return out, (q, k, v, seed)
+
+
+def _flash_core_bwd(scale, dropout_rate, interpret, res, do):
+    q, k, v, seed = res
+    dq, dk, dv = _flash_bwd_call(
+        q, k, v, do, seed, scale=scale, dropout_rate=dropout_rate,
+        interpret=interpret,
+    )
+    return dq, dk, dv, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention over (B, H, N, Dh) inputs.
+
+    Args:
+        scale: logit scale (head_dim ** -0.5 in the model).
+        dropout_rate: attention-probability dropout (train only; pass 0.0
+            for eval). Requires dropout_rng when > 0.
+        interpret: run the Pallas interpreter (CPU tests).
+    """
+    b, h, n, dh = q.shape
+    fold = lambda x: x.reshape(b * h, n, dh)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        seed = jax.random.randint(
+            dropout_rng, (1,), minval=0, maxval=2 ** 31 - 1, dtype=jnp.int32
+        )
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _flash_core(
+        fold(q), fold(k), fold(v), scale, float(dropout_rate), seed, interpret
+    )
+    return out.reshape(b, h, n, dh)

@@ -9,12 +9,16 @@ suite against the real chip instead.
 import os
 
 if not os.environ.get("NEURAL_VIT_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The tunneled TPU plugin ignores the JAX_PLATFORMS env var; the config
+    # API is honored. Must run before any jax computation.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

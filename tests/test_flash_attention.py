@@ -1,0 +1,96 @@
+"""Flash attention kernel vs the XLA reference path (interpret mode on CPU;
+the same kernel code compiles via Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_vit_tpu.ops.attention import xla_attention
+from neural_vit_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(rng, b=2, h=3, n=129, dh=64, dtype=np.float32):
+    shape = (b, h, n, dh)
+    return (
+        jnp.asarray(rng.standard_normal(shape), dtype),
+        jnp.asarray(rng.standard_normal(shape), dtype),
+        jnp.asarray(rng.standard_normal(shape), dtype),
+    )
+
+
+@pytest.mark.parametrize("n", [128, 129, 513])
+def test_forward_matches_xla(rng, n):
+    q, k, v = _qkv(rng, n=n)
+    scale = 64 ** -0.5
+    ref, _ = xla_attention(q, k, v, scale)
+    out = flash_attention(q, k, v, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_xla(rng):
+    q, k, v = _qkv(rng, b=1, h=2, n=200)
+    scale = 64 ** -0.5
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, interpret=True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_ref(q, k, v):
+        o, _ = xla_attention(q, k, v, scale)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_dropout_statistics_and_determinism(rng):
+    q, k, v = _qkv(rng, b=1, h=1, n=128)
+    scale = 64 ** -0.5
+    key = jax.random.key(11)
+    o1 = flash_attention(q, k, v, scale=scale, dropout_rate=0.5,
+                         dropout_rng=key, interpret=True)
+    o2 = flash_attention(q, k, v, scale=scale, dropout_rate=0.5,
+                         dropout_rng=key, interpret=True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+    o3 = flash_attention(q, k, v, scale=scale, dropout_rate=0.5,
+                         dropout_rng=jax.random.key(12), interpret=True)
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+    # Inverted dropout keeps expectation ≈ no-dropout output.
+    outs = [
+        np.asarray(
+            flash_attention(q, k, v, scale=scale, dropout_rate=0.5,
+                            dropout_rng=jax.random.key(100 + i), interpret=True)
+        )
+        for i in range(24)
+    ]
+    ref, _ = xla_attention(q, k, v, scale)
+    mean = np.mean(outs, axis=0)
+    corr = np.corrcoef(mean.ravel(), np.asarray(ref).ravel())[0, 1]
+    assert corr > 0.95
+
+
+def test_dropout_grad_uses_same_mask(rng):
+    """Forward and backward must see an identical keep mask: the VJP of a
+    fixed-seed dropout attention must match finite differences."""
+    q, k, v = _qkv(rng, b=1, h=1, n=128, dh=64)
+    scale = 64 ** -0.5
+    key = jax.random.key(5)
+
+    def f(qq):
+        o = flash_attention(qq, k, v, scale=scale, dropout_rate=0.3,
+                            dropout_rng=key, interpret=True)
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(f)(q)
+    # Directional finite difference.
+    d = jnp.asarray(np.random.default_rng(0).standard_normal(q.shape), q.dtype)
+    eps = 1e-3
+    fd = (f(q + eps * d) - f(q - eps * d)) / (2 * eps)
+    analytic = jnp.sum(g * d)
+    np.testing.assert_allclose(float(analytic), float(fd), rtol=2e-2)

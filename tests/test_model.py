@@ -1,0 +1,184 @@
+"""Temporal3DViT model tests: shapes, config validation, stochastic
+regularization semantics, and direct numerical parity against the reference
+PyTorch implementation (imported read-only from /root/reference when present
+— no reference code is vendored here)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_vit_tpu.core.config import CONFIGS, Temporal3DViTConfig, build_vit_config
+from neural_vit_tpu.models.vit import Temporal3DViT, attention_maps
+
+TINY = Temporal3DViTConfig(
+    n_trials=4, freq_size=16, time_size=32,
+    patch_trial=2, patch_freq=8, patch_time=8,
+    embed_dim=64, n_heads=2, n_layers=2,
+    compute_dtype="float32", use_flash_attention=False,
+)
+
+
+def _init(cfg, batch=2, seed=0):
+    model = Temporal3DViT(cfg)
+    x = jax.random.normal(
+        jax.random.key(seed), (batch, cfg.n_trials, cfg.freq_size, cfg.time_size)
+    )
+    variables = model.init(jax.random.key(1), x)
+    return model, variables, x
+
+
+def test_forward_shapes_and_channel_dim():
+    model, variables, x = _init(TINY)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 2)
+    # (B, 1, K, F, T) input accepted as in the reference (model.py:294).
+    logits5 = model.apply(variables, x[:, None])
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits5))
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        Temporal3DViTConfig(n_trials=7, patch_trial=2).validate()
+    with pytest.raises(ValueError):
+        Temporal3DViTConfig(freq_size=65).validate()
+    cfg = build_vit_config("tiny", n_layers=3)
+    assert cfg.n_layers == 3 and cfg.embed_dim == 192
+
+
+def test_registry_matches_reference():
+    assert CONFIGS["tiny"].embed_dim == 192 and CONFIGS["tiny"].n_layers == 4
+    assert CONFIGS["small"].embed_dim == 384 and CONFIGS["small"].n_layers == 8
+    assert CONFIGS["base"].embed_dim == 512 and CONFIGS["base"].n_layers == 12
+    # N = 1 + 4·8·16 = 513 tokens at default dims (SURVEY §2.2).
+    assert CONFIGS["small"].seq_len == 513
+
+
+def test_train_mode_is_stochastic_eval_deterministic():
+    model, variables, x = _init(TINY)
+    e1 = model.apply(variables, x)
+    e2 = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+    t1 = model.apply(variables, x, train=True, rngs={"dropout": jax.random.key(7)})
+    t2 = model.apply(variables, x, train=True, rngs={"dropout": jax.random.key(8)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+    # Same rng ⇒ reproducible.
+    t3 = model.apply(variables, x, train=True, rngs={"dropout": jax.random.key(7)})
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t3))
+
+
+def test_gradients_flow_everywhere():
+    model, variables, x = _init(TINY)
+
+    def loss_fn(params):
+        logits = model.apply({"params": params}, x)
+        return jnp.sum(logits ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    zero = [jax.tree_util.keystr(p) for p, g in flat if not np.any(np.asarray(g))]
+    assert zero == [], f"zero grads at: {zero}"
+
+
+def test_attention_maps_shape():
+    model, variables, x = _init(TINY)
+    maps = attention_maps(model, variables, x)
+    n = TINY.seq_len
+    assert len(maps) == TINY.n_layers
+    for m in maps:
+        assert m.shape == (2, TINY.n_heads, n, n)
+        np.testing.assert_allclose(
+            np.asarray(m.sum(-1)), np.ones((2, TINY.n_heads, n)), rtol=1e-5
+        )
+
+
+def test_param_count_small_config():
+    """~14 M params for 'small' at default dims (SURVEY §6)."""
+    cfg = CONFIGS["small"].replace(compute_dtype="float32")
+    model = Temporal3DViT(cfg)
+    x = jnp.zeros((1, 8, 64, 128))
+    variables = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
+    n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert 13_000_000 < n_params < 16_000_000
+
+
+# ---------------------------------------------------------------------------
+# Parity vs the reference PyTorch model (strongest parity gate).
+# ---------------------------------------------------------------------------
+
+_REF = "/root/reference"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(_REF, "temporal_vit")),
+    reason="reference checkout not available",
+)
+def test_logits_match_reference_torch():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, _REF)
+    try:
+        from temporal_vit.models.model import (
+            Temporal3DViT as TorchViT,
+            Temporal3DViTConfig as TorchCfg,
+        )
+    finally:
+        sys.path.remove(_REF)
+
+    kwargs = dict(
+        n_trials=4, freq_size=16, time_size=32,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        embed_dim=64, n_heads=2, n_layers=2,
+        dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+    )
+    tcfg = TorchCfg(**kwargs)
+    tmodel = TorchViT(tcfg).eval()
+
+    jcfg = Temporal3DViTConfig(
+        **kwargs, compute_dtype="float32", use_flash_attention=False
+    )
+    model, variables, _ = _init(jcfg)
+
+    # Port torch weights → flax param tree.
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    d = jcfg.embed_dim
+    p["patch_embed"]["kernel"] = sd["patch_embed.weight"].reshape(d, -1).T
+    p["patch_embed"]["bias"] = sd["patch_embed.bias"]
+    p["pos_embed_k"] = sd["pos_embed_k"][0]
+    p["pos_embed_f"] = sd["pos_embed_f"][0]
+    p["pos_embed_t"] = sd["pos_embed_t"][0]
+    p["cls_token"] = sd["cls_token"]
+    for i in range(jcfg.n_layers):
+        b = p[f"block_{i}"]
+        t = f"blocks.{i}."
+        b["norm1"]["scale"] = sd[t + "norm1.weight"]
+        b["norm1"]["bias"] = sd[t + "norm1.bias"]
+        b["attn"]["qkv"]["kernel"] = sd[t + "attn.qkv.weight"].T
+        b["attn"]["qkv"]["bias"] = sd[t + "attn.qkv.bias"]
+        b["attn"]["proj"]["kernel"] = sd[t + "attn.proj.weight"].T
+        b["attn"]["proj"]["bias"] = sd[t + "attn.proj.bias"]
+        b["ls1"]["gamma"] = sd[t + "ls1.gamma"]
+        b["norm2"]["scale"] = sd[t + "norm2.weight"]
+        b["norm2"]["bias"] = sd[t + "norm2.bias"]
+        b["mlp"]["fc1"]["kernel"] = sd[t + "mlp.fc1.weight"].T
+        b["mlp"]["fc1"]["bias"] = sd[t + "mlp.fc1.bias"]
+        b["mlp"]["fc2"]["kernel"] = sd[t + "mlp.fc2.weight"].T
+        b["mlp"]["fc2"]["bias"] = sd[t + "mlp.fc2.bias"]
+        b["ls2"]["gamma"] = sd[t + "ls2.gamma"]
+    p["norm"]["scale"] = sd["norm.weight"]
+    p["norm"]["bias"] = sd["norm.bias"]
+    p["head_fc1"]["kernel"] = sd["head.0.weight"].T
+    p["head_fc1"]["bias"] = sd["head.0.bias"]
+    p["head_fc2"]["kernel"] = sd["head.3.weight"].T
+    p["head_fc2"]["bias"] = sd["head.3.bias"]
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(
+        (3, jcfg.n_trials, jcfg.freq_size, jcfg.time_size)
+    ).astype(np.float32)
+    ours = np.asarray(model.apply({"params": p}, jnp.asarray(x)))
+    theirs = tmodel(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
