@@ -1,0 +1,254 @@
+"""TPU input pipeline: parquet spectrogram splits → sharded device batches.
+
+Replaces the reference's torch `ParquetSequenceDataset` + `DataLoader`
+(`data/data_loader.py:80-243`) with a TPU-shaped design:
+
+  * the split's spectrograms load once into a single dense
+    (n_rows, F, T) float32 array (the reference also holds everything in
+    host RAM — `data_loader.py:116-118` — but as 77k separate ndarrays);
+  * sequences are a (n_seq, K) int32 gather index (`sequences.py`);
+  * **device-resident mode**: the dense array is pushed to HBM once and each
+    batch is a jitted `take` gather — zero per-step host→device traffic;
+  * host mode: one contiguous numpy gather per batch, then `device_put`
+    with an explicit batch sharding for data-parallel meshes;
+  * epochs are reshuffled host-side from a seeded PRNG; the final partial
+    batch is padded to full shape (jit-stable shapes) and carries a
+    validity mask that metric accumulation respects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_vit_tpu.data.parquet_io import open_dataset
+from neural_vit_tpu.data.sequences import SequenceIndex, build_sequence_index
+
+REQUIRED_COLUMNS = ("session", "condition", "trial_num")
+
+
+@dataclass
+class DataLoaderConfig:
+    """Loader knobs (reference `data_loader.py:12-20`; worker/pinning fields
+    are obsolete on TPU — batches are device-resident or one gather away)."""
+
+    batch_size: int = 16
+    drop_last: bool = False
+    shuffle_train: bool = True
+    seed: int = 0
+    device_resident: bool = True
+
+
+class SpectrogramDataset:
+    """A split's spectrograms as one dense array + window index."""
+
+    def __init__(
+        self,
+        specs: np.ndarray,          # (n_rows, F, T) float32
+        index: SequenceIndex,
+    ):
+        self.specs = specs
+        self.index = index
+        self._device_specs = None
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_parquet(
+        cls,
+        paths,
+        *,
+        n_trials: int,
+        stride: int,
+        spectrogram_column: str = "spectrogram",
+        label_map: Optional[Dict[str, int]] = None,
+    ) -> "SpectrogramDataset":
+        if not spectrogram_column:
+            raise ValueError(
+                "spectrogram_column must be provided for preprocessed datasets."
+            )
+        dataset = open_dataset(paths)
+        if spectrogram_column not in set(dataset.schema.names):
+            raise ValueError("Preprocessed parquet is missing the spectrogram column.")
+        table = dataset.to_table(
+            columns=[*REQUIRED_COLUMNS, spectrogram_column]
+        )
+        df = table.to_pandas().reset_index(drop=True)
+        cells = df[spectrogram_column].tolist()
+        df = df.drop(columns=[spectrogram_column])
+
+        shape = None
+        for c in cells:
+            arr = np.asarray(c if not isinstance(c, np.ndarray) or c.dtype != object
+                             else c.tolist(), dtype=np.float32)
+            if arr.size:
+                shape = arr.shape
+                break
+        if shape is None:
+            raise ValueError("All spectrograms are empty.")
+        specs = np.zeros((len(cells),) + shape, np.float32)
+        valid = np.zeros(len(cells), bool)
+        for i, c in enumerate(cells):
+            arr = np.asarray(c if not isinstance(c, np.ndarray) or c.dtype != object
+                             else c.tolist(), dtype=np.float32)
+            if arr.shape == shape:
+                specs[i] = arr
+                valid[i] = True
+        index = build_sequence_index(
+            df, n_trials=n_trials, stride=stride,
+            label_map=label_map, valid_rows=valid,
+        )
+        return cls(specs, index)
+
+    @classmethod
+    def from_arrays(
+        cls, specs: np.ndarray, df, *, n_trials: int, stride: int,
+        label_map=None, valid_rows=None,
+    ) -> "SpectrogramDataset":
+        index = build_sequence_index(
+            df, n_trials=n_trials, stride=stride,
+            label_map=label_map, valid_rows=valid_rows,
+        )
+        return cls(np.asarray(specs, np.float32), index)
+
+    # -- introspection ------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.index)
+
+    @property
+    def freq_size(self) -> int:
+        return self.specs.shape[1]
+
+    @property
+    def time_size(self) -> int:
+        return self.specs.shape[2]
+
+    @property
+    def n_trials(self) -> int:
+        return self.index.indices.shape[1]
+
+    @property
+    def labels(self) -> np.ndarray:
+        return self.index.labels
+
+    def sequence(self, i: int) -> Tuple[np.ndarray, int]:
+        """(K, F, T) volume + label — torch __getitem__ analogue."""
+        return self.specs[self.index.indices[i]], int(self.index.labels[i])
+
+    # -- device residency ---------------------------------------------------
+    def to_device(self, sharding=None) -> jax.Array:
+        if self._device_specs is None:
+            self._device_specs = (
+                jax.device_put(self.specs, sharding)
+                if sharding is not None else jnp.asarray(self.specs)
+            )
+        return self._device_specs
+
+
+def _pad_batch(idx: np.ndarray, labels: np.ndarray, batch_size: int):
+    n = idx.shape[0]
+    mask = np.zeros(batch_size, bool)
+    mask[:n] = True
+    if n < batch_size:
+        pad = batch_size - n
+        idx = np.concatenate([idx, np.repeat(idx[-1:], pad, axis=0)])
+        labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
+    return idx, labels, mask
+
+
+class BatchIterator:
+    """Epoch iterator yielding (volumes (B,K,F,T), labels (B,), valid (B,)).
+
+    In device-resident mode the gather runs jitted on device; otherwise a
+    contiguous host gather feeds `device_put` (with `batch_sharding` when
+    training data-parallel).
+    """
+
+    def __init__(
+        self,
+        dataset: SpectrogramDataset,
+        cfg: DataLoaderConfig,
+        *,
+        shuffle: bool,
+        batch_sharding=None,
+    ):
+        self.ds = dataset
+        self.cfg = cfg
+        self.shuffle = shuffle
+        self.batch_sharding = batch_sharding
+        self._epoch = 0
+        if cfg.device_resident:
+            specs = self.ds.to_device()
+
+            @jax.jit
+            def gather(idx):
+                return jnp.take(specs, idx, axis=0)
+
+            self._gather = gather
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        b = self.cfg.batch_size
+        return n // b if self.cfg.drop_last else -(-n // b)
+
+    def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array, np.ndarray]]:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.cfg.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        b = self.cfg.batch_size
+        stop = (n // b) * b if self.cfg.drop_last else n
+        for start in range(0, stop, b):
+            sel = order[start:start + b]
+            idx = self.ds.index.indices[sel]
+            labels = self.ds.index.labels[sel]
+            idx, labels, mask = _pad_batch(idx, labels, b)
+            if self.cfg.device_resident:
+                vol = self._gather(jnp.asarray(idx))
+            else:
+                vol = self.ds.specs[idx]  # (B, K, F, T) host gather
+                vol = jax.device_put(vol, self.batch_sharding)
+            yield vol, jnp.asarray(labels), mask
+
+
+def build_dataloaders(
+    train_paths: List[str],
+    val_paths: List[str],
+    test_paths: List[str],
+    *,
+    n_trials: int,
+    stride: int,
+    spectrogram_column: str = "spectrogram",
+    loader_cfg: Optional[DataLoaderConfig] = None,
+    label_map: Optional[Dict[str, int]] = None,
+    batch_sharding=None,
+):
+    """Three-split loader construction (reference
+    `build_parquet_dataloaders`, `data_loader.py:200-243`).
+
+    Returns (train_iter, val_iter, test_iter, (train_ds, val_ds, test_ds)).
+    """
+    loader_cfg = loader_cfg or DataLoaderConfig()
+    datasets = tuple(
+        SpectrogramDataset.from_parquet(
+            p, n_trials=n_trials, stride=stride,
+            spectrogram_column=spectrogram_column, label_map=label_map,
+        )
+        for p in (train_paths, val_paths, test_paths)
+    )
+    train_it = BatchIterator(
+        datasets[0], loader_cfg, shuffle=loader_cfg.shuffle_train,
+        batch_sharding=batch_sharding,
+    )
+    val_it = BatchIterator(
+        datasets[1], loader_cfg, shuffle=False, batch_sharding=batch_sharding
+    )
+    test_it = BatchIterator(
+        datasets[2], loader_cfg, shuffle=False, batch_sharding=batch_sharding
+    )
+    return train_it, val_it, test_it, datasets

@@ -1,0 +1,195 @@
+"""Streaming two-pass preprocessing: raw trial parquet → normalized
+log-spectrogram parquet.
+
+TPU-native equivalent of the reference's offline pipeline
+(`data/preprocess_to_gcs.py`): identical streaming structure (arrow record
+batches in, incremental ParquetWriter out, pass-1 train-only Σ/Σ²/count
+stats, pass-2 z-normalized emission) but the per-trace scipy STFT loop is
+replaced by the fused device program in `ops/spectrogram.py` — each arrow
+batch becomes ONE device call computing every spectrogram in the batch on
+the MXU.
+
+Schema compatibility: the output parquet carries the input columns plus a
+`spectrogram` list<list<float>> column (and optionally the trace), exactly
+like the reference, so its eval/baseline tooling can read our datasets and
+vice versa. Rows whose trace is shorter than the analysis window are dropped
+(reference `preprocess_to_gcs.py:51`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from neural_vit_tpu.data.parquet_io import (
+    coerce_paths,
+    ensure_local_parent,
+    filesystem_for,
+    open_dataset,
+    strip_scheme,
+    write_json,
+)
+from neural_vit_tpu.data.sequences import stack_traces
+from neural_vit_tpu.ops.spectrogram import (
+    SpectrogramConfig,
+    finalize_stats,
+    preprocess_traces,
+    spectrogram_stats_batch,
+)
+
+
+def _batched_traces(df, cfg: SpectrogramConfig):
+    """Parse + stack one arrow batch's traces; returns (dense, valid)."""
+    need = int(cfg.end_time * cfg.fs) if cfg.apply_time_window else None
+    return stack_traces(df["trace"].tolist(), expected_len=need)
+
+
+def _device_specs(dense: np.ndarray, cfg: SpectrogramConfig,
+                  stats: Optional[dict], batch_pad: int) -> np.ndarray:
+    """Fused device call with shape padding to avoid per-batch recompiles."""
+    n = dense.shape[0]
+    if n < batch_pad:
+        dense = np.concatenate(
+            [dense, np.zeros((batch_pad - n, dense.shape[1]), dense.dtype)]
+        )
+    if stats is not None:
+        out = preprocess_traces(
+            dense, cfg, stats["mean"], stats["std"], normalize=True
+        )
+    else:
+        out = preprocess_traces(dense, cfg)
+    return np.asarray(out[:n])
+
+
+def compute_spectrogram_stats(
+    input_paths: Iterable[str] | str,
+    cfg: SpectrogramConfig,
+    batch_size: int = 2048,
+) -> dict:
+    """Pass 1 — stream the *train* split, accumulating Σ, Σ², count of all
+    log-spectrogram pixels (reference `preprocess_to_gcs.py:72-124`).
+    Reduction runs jitted on device; scalars accumulate on host in float64.
+    """
+    dataset = open_dataset(coerce_paths(input_paths))
+    scanner = dataset.scanner(batch_size=batch_size)
+    total_s = total_sq = 0.0
+    total_n = 0
+    for batch in scanner.to_batches():
+        df = batch.to_pandas()
+        dense, valid = _batched_traces(df, cfg)
+        dense = dense[valid]
+        if dense.shape[0] == 0:
+            continue
+        s, sq, n = spectrogram_stats_batch(dense, cfg)
+        total_s += float(s)
+        total_sq += float(sq)
+        total_n += int(n)
+    return finalize_stats(total_s, total_sq, total_n)
+
+
+def preprocess_parquet(
+    input_paths: Iterable[str] | str,
+    output_path: str,
+    cfg: SpectrogramConfig,
+    normalize_stats: Optional[dict] = None,
+    keep_trace: bool = True,
+    batch_size: int = 2048,
+    verbose: bool = True,
+) -> int:
+    """Pass 2 — stream a split, emit spectrogram parquet
+    (reference `preprocess_to_gcs.py:127-221`). Returns rows written."""
+    input_paths = coerce_paths(input_paths)
+    if not input_paths:
+        raise ValueError("input_paths must contain at least one path.")
+    ensure_local_parent(output_path)
+    dataset = open_dataset(input_paths)
+    scanner = dataset.scanner(batch_size=batch_size)
+
+    writer = None
+    rows_written = 0
+    for idx, batch in enumerate(scanner.to_batches()):
+        df = batch.to_pandas()
+        dense, valid = _batched_traces(df, cfg)
+        df = df[valid].reset_index(drop=True)
+        dense = dense[valid]
+        if dense.shape[0] == 0:
+            continue
+        specs = _device_specs(dense, cfg, normalize_stats, batch_size)
+        df["spectrogram"] = [spec.tolist() for spec in specs]
+        if keep_trace:
+            # Windowed + baseline-corrected trace, as the reference stores.
+            start = int(cfg.start_time * cfg.fs)
+            windowed = dense[:, : dense.shape[1] - start] if start else dense
+            nb = int(cfg.baseline_end * cfg.fs)
+            corrected = windowed - windowed[:, :nb].mean(axis=1, keepdims=True)
+            df["trace"] = [t.tolist() for t in corrected]
+        else:
+            df = df.drop(columns=["trace"])
+        table = pa.Table.from_pandas(df, preserve_index=False)
+        if writer is None:
+            writer = pq.ParquetWriter(
+                strip_scheme(output_path), table.schema,
+                filesystem=filesystem_for(output_path),
+            )
+        else:
+            table = table.cast(writer.schema)
+        writer.write_table(table)
+        rows_written += len(df)
+        if verbose:
+            print(f"Processed batch {idx + 1}, rows written: {rows_written}")
+
+    if writer is None:
+        raise ValueError("No rows were read from input paths.")
+    writer.close()
+    if verbose:
+        print(f"Saved preprocessed parquet to {output_path}")
+    return rows_written
+
+
+def preprocess_splits(
+    train_inputs,
+    val_inputs,
+    test_inputs,
+    train_output: str,
+    val_output: str,
+    test_output: str,
+    cfg: Optional[SpectrogramConfig] = None,
+    normalize: bool = True,
+    stats_output_path: Optional[str] = None,
+    keep_trace: bool = True,
+    batch_size: int = 2048,
+    verbose: bool = True,
+) -> Optional[dict]:
+    """Full two-pass pipeline over the three splits
+    (reference `preprocess_splits_to_gcs`, `preprocess_to_gcs.py:230-303`).
+
+    Unlike the reference there is no 3-process split parallelism: a single
+    device saturates on this workload, and the TPU is the bottleneck's
+    replacement, not the host.
+    """
+    cfg = cfg or SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
+    stats = None
+    if normalize:
+        if verbose:
+            print("Computing normalization stats from training data...")
+        stats = compute_spectrogram_stats(train_inputs, cfg, batch_size)
+        if verbose:
+            print(f"Stats ready. Mean={stats['mean']:.4f} Std={stats['std']:.4f}")
+        if stats_output_path:
+            write_json(stats_output_path, stats)
+    for name, inputs, output in (
+        ("train", train_inputs, train_output),
+        ("val", val_inputs, val_output),
+        ("test", test_inputs, test_output),
+    ):
+        if verbose:
+            print(f"Processing {name} split...")
+        preprocess_parquet(
+            inputs, output, cfg,
+            normalize_stats=stats, keep_trace=keep_trace,
+            batch_size=batch_size, verbose=verbose,
+        )
+    return stats

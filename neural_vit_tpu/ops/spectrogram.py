@@ -216,17 +216,28 @@ def preprocess_traces(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def spectrogram_stats_batch(raw: jax.Array, cfg: SpectrogramConfig) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def _stats_partial(raw: jax.Array, cfg: SpectrogramConfig):
+    spec = preprocess_traces(raw, cfg)
+    flat = spec.reshape(spec.shape[0], -1)
+    return jnp.sum(flat, axis=-1), jnp.sum(flat ** 2, axis=-1)
+
+
+def spectrogram_stats_batch(raw: jax.Array, cfg: SpectrogramConfig) -> Tuple[float, float, int]:
     """Per-batch (Σ, Σ², count) of log-spectrogram pixels for the two-pass
     train-set normalization (reference `compute_spectrogram_stats`,
-    `preprocess_to_gcs.py:72-124`). Accumulate across batches on host in
-    float64.
+    `preprocess_to_gcs.py:72-124`). Per-trace partial sums reduce on device
+    in fp32 (≤ ~30k pixels each); the cross-trace and cross-batch
+    accumulation happens here in float64, matching the reference's
+    host-float64 streaming accumulation.
     """
-    spec = preprocess_traces(raw, cfg)
-    s = jnp.sum(spec, dtype=jnp.float64)
-    sq = jnp.sum(spec.astype(jnp.float64) ** 2)
-    n = jnp.asarray(spec.size, dtype=jnp.int64)
-    return s, sq, n
+    s, sq = _stats_partial(raw, cfg)
+    nf, nt = spectrogram_shape(cfg, raw.shape[-1])
+    n_traces = int(np.prod(raw.shape[:-1]))
+    return (
+        float(np.sum(np.asarray(s, np.float64))),
+        float(np.sum(np.asarray(sq, np.float64))),
+        n_traces * nf * nt,
+    )
 
 
 def finalize_stats(total_sum: float, total_sq: float, count: int) -> dict:
