@@ -181,12 +181,20 @@ class BatchIterator:
         self.batch_sharding = batch_sharding
         self._epoch = 0
         if cfg.device_resident:
-            specs = self.ds.to_device()
+            # Replicate the dense spectrogram array across the mesh once;
+            # each batch gather lands already sharded over the data axis.
+            if batch_sharding is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-            @jax.jit
-            def gather(idx):
-                return jnp.take(specs, idx, axis=0)
-
+                rep = NamedSharding(batch_sharding.mesh, PartitionSpec())
+                specs = self.ds.to_device(rep)
+                gather = jax.jit(
+                    lambda idx: jnp.take(specs, idx, axis=0),
+                    out_shardings=batch_sharding,
+                )
+            else:
+                specs = self.ds.to_device()
+                gather = jax.jit(lambda idx: jnp.take(specs, idx, axis=0))
             self._gather = gather
 
     def __len__(self) -> int:

@@ -36,6 +36,7 @@ def weighted_smoothed_cross_entropy(
     labels: jax.Array,
     class_weights: Optional[jax.Array] = None,
     label_smoothing: float = 0.0,
+    sample_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Mean weighted label-smoothed softmax cross-entropy (torch semantics).
 
@@ -44,6 +45,9 @@ def weighted_smoothed_cross_entropy(
         labels: (B,) int class indices.
         class_weights: optional (C,) per-class weights.
         label_smoothing: ε ∈ [0, 1).
+        sample_mask: optional (B,) {0,1} validity mask — padded samples
+            (jit-stable final batches) contribute nothing to loss or
+            normalization.
 
     Returns:
         scalar loss.
@@ -54,11 +58,16 @@ def weighted_smoothed_cross_entropy(
     q = (1.0 - label_smoothing) * onehot + label_smoothing / n_classes
     if class_weights is None:
         per_sample = -jnp.sum(q * logp, axis=-1)
-        return jnp.mean(per_sample)
-    w = jnp.asarray(class_weights, dtype=jnp.float32)
-    per_sample = -jnp.sum(q * w[None, :] * logp, axis=-1)
-    denom = jnp.sum(w[labels])
-    return jnp.sum(per_sample) / jnp.maximum(denom, 1e-12)
+        sample_w = jnp.ones(logits.shape[0], jnp.float32)
+    else:
+        w = jnp.asarray(class_weights, dtype=jnp.float32)
+        per_sample = -jnp.sum(q * w[None, :] * logp, axis=-1)
+        sample_w = w[labels]
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)
+        per_sample = per_sample * m
+        sample_w = sample_w * m
+    return jnp.sum(per_sample) / jnp.maximum(jnp.sum(sample_w), 1e-12)
 
 
 def accuracy_and_probs(

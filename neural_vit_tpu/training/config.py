@@ -1,0 +1,69 @@
+"""Training configuration.
+
+Field-for-field parity with the reference `TrainConfig`
+(`training/config.py:10-45`) plus the TPU-native execution surface (mesh
+spec, dtype, schedule/early-stopping from the HP-tune path, checkpoint
+metric). `device` is replaced by `mesh`: parallelism is a mesh shape, not a
+device string.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from neural_vit_tpu.data.loader import DataLoaderConfig
+from neural_vit_tpu.parallel.mesh import MeshSpec
+
+
+@dataclass
+class TrainConfig:
+    train_paths: List[str] = field(default_factory=list)
+    val_paths: List[str] = field(default_factory=list)
+    test_paths: List[str] = field(default_factory=list)
+    stats_path: Optional[str] = None
+    output_dir: Optional[str] = None
+    use_preprocessed: bool = True
+    spectrogram_column: str = "spectrogram"
+
+    epochs: int = 20
+    loader: DataLoaderConfig = field(default_factory=DataLoaderConfig)
+    lr: float = 3e-4
+    weight_decay: float = 0.01
+    label_smoothing: float = 0.05
+    experiment_name: Optional[str] = None
+    run_name: Optional[str] = None
+    project_id: Optional[str] = None
+    location: Optional[str] = None
+
+    n_trials: int = 8
+    stride: int = 4
+
+    model_size: str = "small"
+    freq_size: Optional[int] = None
+    time_size: Optional[int] = None
+    patch_trial: Optional[int] = None
+    patch_freq: Optional[int] = None
+    patch_time: Optional[int] = None
+    embed_dim: Optional[int] = None
+    n_heads: Optional[int] = None
+    n_layers: Optional[int] = None
+    mlp_ratio: Optional[float] = None
+    dropout: float = 0.2
+    attention_dropout: float = 0.1
+    drop_path: float = 0.1
+
+    # --- schedule / early stopping (reference train_hptune.py:192-223) ---
+    use_cosine_schedule: bool = False  # False ⇒ constant lr (train.py parity)
+    warmup_epochs: int = 3
+    min_lr: float = 1e-6
+    early_stopping_patience: int = 0  # 0 ⇒ disabled
+
+    # --- checkpointing ---
+    checkpoint_metric: str = "val_acc"  # train.py uses val_acc; hptune val_auc
+
+    # --- TPU execution ---
+    mesh: MeshSpec = field(default_factory=MeshSpec)
+    seed: int = 0
+    compute_dtype: str = "bfloat16"
+    use_flash_attention: bool = True

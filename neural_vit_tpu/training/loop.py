@@ -1,0 +1,405 @@
+"""Jitted data-parallel training loop.
+
+TPU-native rebuild of the reference loop (`training/train.py:108-305` and
+the scheduler/early-stopping superset in `train_hptune.py:226-528`):
+
+  * one jitted `train_step` (value_and_grad + optax AdamW) with donated
+    state — forward, flash attention, loss, backward, and update compile to
+    a single XLA program per step;
+  * class-weighted label-smoothed CE with exact torch semantics
+    (`ops/losses.py`), class weights from train-split label counts;
+  * parallelism by sharding only: params/optimizer replicated (or
+    Megatron-TP split over the 'model' axis), batches sharded over 'data' —
+    XLA inserts the gradient all-reduce over ICI;
+  * bf16 compute / f32 params replaces CUDA AMP + GradScaler (no loss
+    scaling needed on TPU);
+  * per-epoch metrics (loss/acc/AUC on train/val/test) with probabilities
+    accumulated on device and one host transfer per epoch; ROC-AUC on host
+    via sklearn exactly like the reference;
+  * warmup-cosine schedule (epoch staircase) and early stopping on val AUC;
+  * Orbax checkpoints: best-metric per epoch + final, plus restore.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+from sklearn.metrics import roc_auc_score
+
+from neural_vit_tpu.core.config import Temporal3DViTConfig, build_vit_config
+from neural_vit_tpu.data.loader import BatchIterator, build_dataloaders
+from neural_vit_tpu.models.vit import Temporal3DViT
+from neural_vit_tpu.ops.losses import (
+    class_weights_from_counts,
+    weighted_smoothed_cross_entropy,
+)
+from neural_vit_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from neural_vit_tpu.training.checkpoint import save_checkpoint
+from neural_vit_tpu.training.config import TrainConfig
+from neural_vit_tpu.training.logging import (
+    ExperimentLogger,
+    build_run_id,
+    log_config,
+)
+from neural_vit_tpu.training.schedule import (
+    constant_schedule,
+    warmup_cosine_epoch_schedule,
+)
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def build_model_config(cfg: TrainConfig, freq_size: int, time_size: int) -> Temporal3DViTConfig:
+    """Preset + overrides (reference `build_model`, train.py:53-74)."""
+    return build_vit_config(
+        cfg.model_size,
+        n_trials=cfg.n_trials,
+        freq_size=freq_size,
+        time_size=time_size,
+        patch_trial=cfg.patch_trial,
+        patch_freq=cfg.patch_freq,
+        patch_time=cfg.patch_time,
+        embed_dim=cfg.embed_dim,
+        n_heads=cfg.n_heads,
+        n_layers=cfg.n_layers,
+        mlp_ratio=cfg.mlp_ratio,
+        dropout=cfg.dropout,
+        attention_dropout=cfg.attention_dropout,
+        drop_path=cfg.drop_path,
+        compute_dtype=cfg.compute_dtype,
+        use_flash_attention=cfg.use_flash_attention,
+    )
+
+
+def infer_input_dims(dataset) -> Tuple[int, int]:
+    """(freq, time) from the data (reference train.py:48-50)."""
+    return dataset.freq_size, dataset.time_size
+
+
+def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float):
+    """Build jitted train/eval steps. Both return per-batch metric arrays:
+    {loss_sum, correct, n_valid, probs} — probabilities stay on device for a
+    single per-epoch host transfer."""
+    cw = jnp.asarray(class_weights) if class_weights is not None else None
+
+    def _metrics(logits, labels, mask, loss):
+        m = mask.astype(jnp.float32)
+        n_valid = jnp.sum(m)
+        preds = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((preds == labels) * mask)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        return {
+            # Reference accumulates loss.item()*batch_n (train.py:229).
+            "loss_sum": loss * n_valid,
+            "correct": correct,
+            "n_valid": n_valid,
+            "probs": probs,
+        }
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, vol, labels, mask, base_rng):
+        # Per-step key derived inside the step from the traced step counter —
+        # no host sync on state.step.
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss_fn(params):
+            logits = model.apply(
+                {"params": params}, vol, train=True, rngs={"dropout": rng}
+            )
+            loss = weighted_smoothed_cross_entropy(
+                logits, labels, cw, label_smoothing, sample_mask=mask
+            )
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, _metrics(logits, labels, mask, loss)
+
+    @jax.jit
+    def eval_step(params, vol, labels, mask):
+        logits = model.apply({"params": params}, vol, train=False)
+        loss = weighted_smoothed_cross_entropy(
+            logits, labels, cw, label_smoothing, sample_mask=mask
+        )
+        return _metrics(logits, labels, mask, loss)
+
+    return train_step, eval_step
+
+
+def _finalize_epoch(metric_batches, label_batches) -> Dict[str, float]:
+    """One host sync per epoch: reduce accumulated device metrics."""
+    loss_sum = float(sum(float(m["loss_sum"]) for m in metric_batches))
+    correct = float(sum(float(m["correct"]) for m in metric_batches))
+    total = float(sum(float(m["n_valid"]) for m in metric_batches))
+    probs, labels = [], []
+    for m, (lab, mask) in zip(metric_batches, label_batches):
+        p = np.asarray(m["probs"])
+        probs.append(p[mask])
+        labels.append(lab[mask])
+    probs = np.concatenate(probs) if probs else np.array([])
+    labels = np.concatenate(labels) if labels else np.array([])
+    try:
+        auc = float(roc_auc_score(labels, probs))
+    except ValueError:
+        auc = float("nan")
+    return {
+        "loss": loss_sum / max(total, 1.0),
+        "acc": correct / max(total, 1.0),
+        "auc": auc,
+    }
+
+
+def evaluate(
+    eval_step,
+    params,
+    iterator: BatchIterator,
+) -> Dict[str, float]:
+    """Eval pass (reference `evaluate`, train.py:77-105)."""
+    metric_batches, label_batches = [], []
+    for vol, labels, mask in iterator:
+        m = eval_step(params, vol, labels, mask)
+        metric_batches.append(m)
+        label_batches.append((np.asarray(labels), mask))
+    return _finalize_epoch(metric_batches, label_batches)
+
+
+def train(cfg: TrainConfig) -> Dict:
+    """Full training run (reference `train`, training/train.py:108-305).
+
+    Returns a results dict with final/best metrics and checkpoint locations.
+    """
+    if not cfg.train_paths or not cfg.val_paths or not cfg.test_paths:
+        raise ValueError("train_paths, val_paths, and test_paths must be provided.")
+    if not cfg.use_preprocessed:
+        raise ValueError(
+            "Training expects preprocessed spectrograms. Set use_preprocessed=True."
+        )
+    if not cfg.spectrogram_column:
+        raise ValueError("spectrogram_column must be set for preprocessed datasets.")
+
+    mesh = make_mesh(cfg.mesh)
+    multi_device = mesh.devices.size > 1
+    b_shard = batch_sharding(mesh) if multi_device else None
+    print(f"Devices: {mesh.devices.size} ({jax.default_backend()}), "
+          f"mesh data={mesh.shape['data']} model={mesh.shape['model']}")
+
+    print("Initializing training/validation/test datasets...")
+    train_it, val_it, test_it, (train_ds, val_ds, test_ds) = build_dataloaders(
+        cfg.train_paths, cfg.val_paths, cfg.test_paths,
+        n_trials=cfg.n_trials, stride=cfg.stride,
+        spectrogram_column=cfg.spectrogram_column,
+        loader_cfg=cfg.loader, batch_sharding=b_shard,
+    )
+    print(f"Train: {len(train_ds)}, Val: {len(val_ds)}, Test: {len(test_ds)} sequences")
+
+    if cfg.freq_size and cfg.time_size:
+        freq_size, time_size = cfg.freq_size, cfg.time_size
+    else:
+        freq_size, time_size = infer_input_dims(train_ds)
+    model_config = build_model_config(cfg, freq_size, time_size)
+    model = Temporal3DViT(model_config)
+
+    # Class-weighted CE from train-split counts (train.py:157-170).
+    counts = np.bincount(train_ds.labels, minlength=model_config.n_classes)
+    class_weights = class_weights_from_counts(counts)
+
+    steps_per_epoch = max(1, len(train_it))
+    if cfg.use_cosine_schedule:
+        schedule = warmup_cosine_epoch_schedule(
+            cfg.lr, warmup_epochs=cfg.warmup_epochs, total_epochs=cfg.epochs,
+            min_lr=cfg.min_lr, steps_per_epoch=steps_per_epoch,
+        )
+    else:
+        schedule = constant_schedule(cfg.lr)
+    tx = optax.adamw(
+        learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=cfg.weight_decay,
+    )
+
+    rng = jax.random.key(cfg.seed)
+    init_rng, dropout_rng = jax.random.split(rng)
+    sample = jnp.zeros((1, cfg.n_trials, freq_size, time_size), jnp.float32)
+    variables = model.init(init_rng, sample)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"Model parameters: {n_params:,}")
+
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+    # Place the whole state on the mesh: TP rules where they match
+    # (params and the mirrored AdamW mu/nu trees), replicated elsewhere.
+    state = jax.device_put(state, param_shardings(state, mesh))
+
+    train_step, eval_step = make_step_fns(
+        model, class_weights, cfg.label_smoothing
+    )
+
+    # ---- logging / checkpoints (reference train.py:172-204) ----
+    output_dir = (
+        cfg.output_dir
+        or os.environ.get("AIP_MODEL_DIR")
+        or os.environ.get("AIP_CHECKPOINT_DIR")
+    )
+    run_id = cfg.run_name or build_run_id()
+    checkpoint_dir = None
+    if output_dir:
+        checkpoint_dir = f"{output_dir.rstrip('/')}/{run_id}/checkpoints"
+    logger = ExperimentLogger(
+        run_id=run_id, output_dir=output_dir, project_id=cfg.project_id,
+        location=cfg.location, experiment_name=cfg.experiment_name,
+    )
+    log_config(logger, cfg)
+    logger.log_params(
+        {
+            "train_sequences": len(train_ds),
+            "val_sequences": len(val_ds),
+            "test_sequences": len(test_ds),
+            "class_0_count": int(counts[0]) if counts.size > 0 else 0,
+            "class_1_count": int(counts[1]) if counts.size > 1 else 0,
+            "n_params": n_params,
+            "mesh_data": int(mesh.shape["data"]),
+            "mesh_model": int(mesh.shape["model"]),
+        }
+    )
+
+    best = {"val_acc": 0.0, "val_auc": 0.0}
+    best_ckpt = None
+    epochs_without_improvement = 0
+    epochs_trained = 0
+    history = []
+    results: Dict = {}
+    try:
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.perf_counter()
+            metric_batches, label_batches = [], []
+            for vol, labels, mask in train_it:
+                state, m = train_step(state, vol, labels, mask, dropout_rng)
+                metric_batches.append(m)
+                label_batches.append((np.asarray(labels), mask))
+            tm = _finalize_epoch(metric_batches, label_batches)
+            vm = evaluate(eval_step, state.params, val_it)
+            dt = time.perf_counter() - t0
+            epochs_trained = epoch
+
+            metrics = {
+                "train/loss": tm["loss"], "train/acc": tm["acc"],
+                "train/auc": tm["auc"],
+                "val/loss": vm["loss"], "val/acc": vm["acc"],
+                "val/auc": vm["auc"],
+            }
+            logger.log_metrics(metrics, step=epoch)
+            history.append({"epoch": epoch, **metrics})
+            print(
+                f"Epoch {epoch}/{cfg.epochs} | "
+                f"train loss {tm['loss']:.4f}, acc {tm['acc']:.4f}, auc {tm['auc']:.4f} | "
+                f"val loss {vm['loss']:.4f}, acc {vm['acc']:.4f}, auc {vm['auc']:.4f} | "
+                f"{dt:.1f}s"
+            )
+
+            # Best-metric checkpoint + early stopping.
+            monitored = vm["acc"] if cfg.checkpoint_metric == "val_acc" else vm["auc"]
+            best_key = "val_acc" if cfg.checkpoint_metric == "val_acc" else "val_auc"
+            improved = monitored > best[best_key]
+            best["val_acc"] = max(best["val_acc"], vm["acc"])
+            best["val_auc"] = max(
+                best["val_auc"], vm["auc"] if np.isfinite(vm["auc"]) else 0.0
+            )
+            if improved:
+                epochs_without_improvement = 0
+                if checkpoint_dir:
+                    best_ckpt = save_checkpoint(
+                        checkpoint_dir, f"best_epoch_{epoch}",
+                        state.params, model_config,
+                        extra={"epoch": epoch, "val_acc": vm["acc"],
+                               "val_auc": vm["auc"]},
+                    )
+            else:
+                epochs_without_improvement += 1
+            if (
+                cfg.early_stopping_patience > 0
+                and epochs_without_improvement >= cfg.early_stopping_patience
+            ):
+                print(
+                    f"Early stopping at epoch {epoch} (no improvement for "
+                    f"{cfg.early_stopping_patience} epochs)"
+                )
+                break
+
+        test_m = evaluate(eval_step, state.params, test_it)
+        logger.log_metrics(
+            {
+                "test/loss": test_m["loss"], "test/acc": test_m["acc"],
+                "test/auc": test_m["auc"],
+            },
+            step=cfg.epochs + 1,
+        )
+        print(
+            f"Test loss {test_m['loss']:.4f}, acc {test_m['acc']:.4f}, "
+            f"auc {test_m['auc']:.4f}"
+        )
+        results = {
+            "run_id": run_id,
+            "epochs_trained": epochs_trained,
+            "best_val_acc": best["val_acc"],
+            "best_val_auc": best["val_auc"],
+            "test_loss": test_m["loss"],
+            "test_acc": test_m["acc"],
+            "test_auc": test_m["auc"],
+            "history": history,
+            "n_params": n_params,
+        }
+    finally:
+        logger.close()
+
+    if checkpoint_dir:
+        final = save_checkpoint(
+            checkpoint_dir, "final", state.params, model_config,
+            extra={"best_val_acc": best["val_acc"], "best_val_auc": best["val_auc"]},
+        )
+        results["final_checkpoint"] = final
+        results["best_checkpoint"] = best_ckpt
+    return results
+
+
+def main():  # pragma: no cover — CLI entry mirroring reference train.py:308
+    bucket = "lfp_spec_datasets"
+    prefix = "neural/v2"
+    output_dir = (
+        os.environ.get("AIP_MODEL_DIR")
+        or os.environ.get("AIP_CHECKPOINT_DIR")
+        or "runs/run1"
+    )
+    cfg = TrainConfig(
+        train_paths=[f"gs://{bucket}/{prefix}/train_preprocessed.parquet"],
+        val_paths=[f"gs://{bucket}/{prefix}/val_preprocessed.parquet"],
+        test_paths=[f"gs://{bucket}/{prefix}/test_preprocessed.parquet"],
+        use_preprocessed=True,
+        output_dir=output_dir,
+        model_size="small",
+        experiment_name="lfp-temporal-vit-experiments",
+        project_id="lfp-temporal-vit",
+        location="us-central1",
+    )
+    train(cfg)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,156 @@
+"""End-to-end training: the minimum slice (BASELINE config 1) — synthetic
+LFP → preprocess → tiny ViT train → loss falls, checkpoints round-trip,
+metrics JSONL parses — plus schedule/loss-masking unit checks."""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_vit_tpu.data.loader import DataLoaderConfig
+from neural_vit_tpu.data.pipeline import preprocess_splits
+from neural_vit_tpu.data.splits import create_session_splits_df
+from neural_vit_tpu.data.synthetic import synthetic_lfp_frame
+from neural_vit_tpu.ops.losses import weighted_smoothed_cross_entropy
+from neural_vit_tpu.ops.spectrogram import SpectrogramConfig
+from neural_vit_tpu.training.checkpoint import restore_checkpoint
+from neural_vit_tpu.training.config import TrainConfig
+from neural_vit_tpu.training.loop import train
+from neural_vit_tpu.training.schedule import (
+    linear_scaled_lr,
+    warmup_cosine_epoch_schedule,
+)
+
+SPEC = SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
+
+
+@pytest.fixture(scope="module")
+def prepared_splits(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("train_e2e")
+    df = synthetic_lfp_frame(
+        n_sessions=10, trials_per_session=14, trace_len=5200, seed=7
+    )
+    train_df, val_df, test_df = create_session_splits_df(df, 0.2, 0.2)
+    paths = {}
+    for name, d in (("train", train_df), ("val", val_df), ("test", test_df)):
+        raw = str(tmp / f"{name}.parquet")
+        d.to_parquet(raw)
+        paths[name] = raw
+    out = {n: str(tmp / f"{n}_pre.parquet") for n in paths}
+    preprocess_splits(
+        paths["train"], paths["val"], paths["test"],
+        out["train"], out["val"], out["test"],
+        cfg=SPEC, batch_size=64, verbose=False,
+    )
+    return tmp, out
+
+
+def test_schedule_matches_reference_lambda():
+    """Epoch staircase equals the reference LambdaLR factors
+    (train_hptune.py:211-221)."""
+    base_lr, warmup, total, min_lr = 3e-4, 3, 10, 1e-6
+    sch = warmup_cosine_epoch_schedule(
+        base_lr, warmup_epochs=warmup, total_epochs=total, min_lr=min_lr,
+        steps_per_epoch=5,
+    )
+    import math
+
+    def ref_lambda(epoch):
+        if epoch < warmup:
+            return (epoch + 1) / warmup
+        progress = (epoch - warmup) / max(1, total - warmup)
+        cd = 0.5 * (1 + math.cos(math.pi * progress))
+        ms = min_lr / base_lr
+        return ms + (1 - ms) * cd
+
+    for epoch in range(total):
+        for step_in_epoch in (0, 4):
+            got = float(sch(epoch * 5 + step_in_epoch))
+            np.testing.assert_allclose(got, base_lr * ref_lambda(epoch), rtol=1e-6)
+    assert linear_scaled_lr(3e-4, 64) == pytest.approx(3e-4 * 4)
+
+
+def test_masked_loss_ignores_padding(rng):
+    logits = jnp.asarray(rng.standard_normal((6, 2)), jnp.float32)
+    labels = jnp.asarray([0, 1, 0, 1, 0, 1])
+    w = jnp.asarray([0.7, 1.9])
+    full = weighted_smoothed_cross_entropy(logits[:4], labels[:4], w, 0.05)
+    masked = weighted_smoothed_cross_entropy(
+        logits, labels, w, 0.05,
+        sample_mask=jnp.asarray([1, 1, 1, 1, 0, 0]),
+    )
+    np.testing.assert_allclose(float(full), float(masked), rtol=1e-6)
+
+
+def test_end_to_end_training_tiny(prepared_splits):
+    tmp, out = prepared_splits
+    cfg = TrainConfig(
+        train_paths=[out["train"]],
+        val_paths=[out["val"]],
+        test_paths=[out["test"]],
+        output_dir=str(tmp / "runs"),
+        run_name="testrun",
+        epochs=3,
+        lr=1e-3,
+        n_trials=4,
+        stride=2,
+        model_size="tiny",
+        embed_dim=64,
+        n_heads=2,
+        n_layers=2,
+        patch_trial=2,
+        patch_freq=8,
+        patch_time=8,
+        dropout=0.1,
+        attention_dropout=0.0,
+        drop_path=0.0,
+        loader=DataLoaderConfig(batch_size=16),
+        compute_dtype="float32",
+        use_flash_attention=False,
+        experiment_name=None,
+    )
+    results = train(cfg)
+
+    hist = results["history"]
+    assert len(hist) == 3
+    # Loss falls and the model learns the synthetic separation.
+    assert hist[-1]["train/loss"] < hist[0]["train/loss"]
+    assert results["test_auc"] > 0.8
+    assert 0.0 <= results["test_acc"] <= 1.0
+
+    # Checkpoints round-trip.
+    params, model_cfg, extra = restore_checkpoint(
+        f"{tmp}/runs/testrun/checkpoints", "final"
+    )
+    assert model_cfg.embed_dim == 64
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    assert n_leaves > 10
+    assert "best_val_acc" in extra
+
+    # Metrics JSONL parses with the reference schema.
+    files = glob.glob(str(tmp / "runs" / "testrun" / "metrics" / "*.jsonl"))
+    assert files
+    records = [json.loads(l) for l in open(files[0])]
+    epoch_recs = [r for r in records if r.get("step") and "train/loss" in r]
+    assert len(epoch_recs) == 3
+    for key in ("train/loss", "train/acc", "train/auc",
+                "val/loss", "val/acc", "val/auc"):
+        assert key in epoch_recs[0]
+    test_recs = [r for r in records if "test/auc" in r]
+    assert len(test_recs) == 1
+
+
+def test_training_rejects_bad_config():
+    with pytest.raises(ValueError):
+        train(TrainConfig())
+    with pytest.raises(ValueError):
+        train(
+            TrainConfig(
+                train_paths=["x"], val_paths=["x"], test_paths=["x"],
+                use_preprocessed=False,
+            )
+        )
