@@ -79,14 +79,16 @@ def _dropout_keep(shape, rate: float, seed):
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
     bh, qi = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)          # (Bq, Dh)
-    k = k_ref[0].astype(jnp.float32)          # (Nk, Dh)
-    v = v_ref[0].astype(jnp.float32)
+    # MXU matmuls run in the input dtype (bf16 on the train path) with f32
+    # accumulation; softmax math stays f32.
+    q = q_ref[0]                               # (Bq, Dh)
+    k = k_ref[0]                               # (Nk, Dh)
+    v = v_ref[0]
     bq, n_pad = q.shape[0], k.shape[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                  # (Bq, Nk)
+    ) * scale                                  # (Bq, Nk) f32
     s = s + _kv_mask(n_valid, n_pad, bq)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -95,7 +97,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
         seed = seed_ref[0] + bh * pl.num_programs(1) + qi
         p = p * _dropout_keep(p.shape, dropout_rate, seed)
     o_ref[0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
@@ -103,10 +106,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
     bh, qi = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)           # (Bq, Dh)
-    k = k_ref[0].astype(jnp.float32)           # (Nk, Dh)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)         # (Bq, Dh)
+    q = q_ref[0]                               # (Bq, Dh)
+    k = k_ref[0]                               # (Nk, Dh)
+    v = v_ref[0]
+    do = do_ref[0]                             # (Bq, Dh)
     bq, n_pad = q.shape[0], k.shape[0]
 
     s = jax.lax.dot_general(
@@ -133,15 +136,17 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = p * (dp - delta)                      # (Bq, Nk)
 
+    ds_c = ds.astype(q.dtype)
     dq_ref[0] = (jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds_c, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale).astype(dq_ref.dtype)
 
     dk_part = jax.lax.dot_general(             # dSᵀ Q: (Nk, Dh)
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds_c, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     dv_part = jax.lax.dot_general(             # P̃ᵀ dO: (Nk, Dh)
-        p_drop, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(qi == 0)
@@ -226,12 +231,17 @@ def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
+            # dk/dv accumulate across sequential q-block grid steps → f32.
+            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), jnp.float32),
         ],
         interpret=interpret,
     )(seed, q, k, v, do)
-    return dq[:, :n, :], dk[:, :n, :], dv[:, :n, :]
+    return (
+        dq[:, :n, :],
+        dk[:, :n, :].astype(q.dtype),
+        dv[:, :n, :].astype(q.dtype),
+    )
 
 
 @functools.partial(

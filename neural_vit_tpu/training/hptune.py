@@ -1,0 +1,174 @@
+"""HP-tuning training entry: CLI hyperparameters, warmup-cosine schedule,
+early stopping, Vertex HP-tuning metric reporting.
+
+Capability parity with `training/train_hptune.py` in the reference: the
+same argparse surface (:38-97), the linear LR-scaling rule (:230-233), the
+warmup+cosine schedule (:192-223), early stopping on val AUC (:401-492),
+best-val_auc checkpointing, and `val_auc`/`test_auc` reporting through
+cloudml-hypertune (:182-189) — all layered on the shared TPU loop
+(`loop.train`). CUDA AMP + GradScaler have no TPU analogue: matmuls run
+bf16 natively, no loss scaling required.
+
+HP sweeps across a TPU slice run as embarrassingly-parallel trials —
+see `run_sweep` for the in-process multi-trial driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from dataclasses import replace
+from typing import Dict, List, Optional
+
+from neural_vit_tpu.data.loader import DataLoaderConfig
+from neural_vit_tpu.training.config import TrainConfig
+from neural_vit_tpu.training.loop import train
+from neural_vit_tpu.training.schedule import linear_scaled_lr
+
+try:
+    import hypertune
+except ImportError:
+    hypertune = None
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        description="Temporal 3D ViT training with hyperparameter tuning support."
+    )
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--dropout", type=float, default=0.2)
+    parser.add_argument("--attention_dropout", type=float, default=0.1)
+    parser.add_argument("--drop_path", type=float, default=0.1)
+    parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--label_smoothing", type=float, default=0.05)
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--n_trials", type=int, default=8)
+    parser.add_argument("--stride", type=int, default=4)
+    parser.add_argument("--early_stopping_patience", type=int, default=5)
+    parser.add_argument("--warmup_epochs", type=int, default=3)
+    parser.add_argument("--min_lr", type=float, default=1e-6)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--train_path", type=str, default=None)
+    parser.add_argument("--val_path", type=str, default=None)
+    parser.add_argument("--test_path", type=str, default=None)
+    parser.add_argument("--experiment_name", type=str,
+                        default="lfp-temporal-vit-hptune")
+    parser.add_argument("--project_id", type=str, default="lfp-temporal-vit")
+    parser.add_argument("--location", type=str, default="us-central1")
+    parser.add_argument("--model_size", type=str, default="small")
+    return parser.parse_args(argv)
+
+
+def report_metric(hpt, tag: str, value: float, step: int) -> None:
+    """Report a trial metric to the Vertex tuner (reference :182-189)."""
+    if hpt is not None:
+        hpt.report_hyperparameter_tuning_metric(
+            hyperparameter_metric_tag=tag,
+            metric_value=value,
+            global_step=step,
+        )
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    bucket, prefix = "lfp_spec_datasets", "neural/v2"
+    train_paths = [args.train_path or f"gs://{bucket}/{prefix}/train_preprocessed.parquet"]
+    val_paths = [args.val_path or f"gs://{bucket}/{prefix}/val_preprocessed.parquet"]
+    test_paths = [args.test_path or f"gs://{bucket}/{prefix}/test_preprocessed.parquet"]
+    output_dir = (
+        args.output_dir
+        or os.environ.get("AIP_MODEL_DIR")
+        or os.environ.get("AIP_CHECKPOINT_DIR")
+        or "gs://lfp-temporal-vit/hptune-runs"
+    )
+    effective_lr = linear_scaled_lr(args.lr, args.batch_size)
+    return TrainConfig(
+        train_paths=train_paths,
+        val_paths=val_paths,
+        test_paths=test_paths,
+        output_dir=output_dir,
+        use_preprocessed=True,
+        epochs=args.epochs,
+        loader=DataLoaderConfig(batch_size=args.batch_size),
+        lr=effective_lr,
+        weight_decay=args.weight_decay,
+        label_smoothing=args.label_smoothing,
+        n_trials=args.n_trials,
+        stride=args.stride,
+        model_size=args.model_size,
+        dropout=args.dropout,
+        attention_dropout=args.attention_dropout,
+        drop_path=args.drop_path,
+        use_cosine_schedule=True,
+        warmup_epochs=args.warmup_epochs,
+        min_lr=args.min_lr,
+        early_stopping_patience=args.early_stopping_patience,
+        checkpoint_metric="val_auc",
+        experiment_name=args.experiment_name,
+        project_id=args.project_id,
+        location=args.location,
+    )
+
+
+def train_with_hptune(args: argparse.Namespace) -> Dict:
+    hpt = None
+    if hypertune is not None:
+        try:
+            hpt = hypertune.HyperTune()
+            print("Hypertune initialized successfully.")
+        except Exception as e:  # pragma: no cover
+            print(f"Hypertune initialization failed: {e}")
+    else:
+        print("Hypertune not available, metrics will only be logged locally.")
+
+    cfg = config_from_args(args)
+    print("=" * 60)
+    print("Hyperparameter Tuning Configuration")
+    print("=" * 60)
+    print(f"  lr (base): {args.lr}")
+    print(f"  lr (effective): {cfg.lr} (linear scaling, batch {args.batch_size})")
+    for k in ("dropout", "attention_dropout", "drop_path", "weight_decay",
+              "label_smoothing", "early_stopping_patience", "warmup_epochs",
+              "min_lr", "epochs", "batch_size"):
+        print(f"  {k}: {getattr(args, k)}")
+    print("=" * 60)
+
+    results = train(cfg)
+    # Report best val AUC and final test AUC to the tuner.
+    report_metric(hpt, "val_auc", results["best_val_auc"],
+                  results["epochs_trained"])
+    report_metric(hpt, "test_auc", results["test_auc"], cfg.epochs + 1)
+    print(f"Training complete. Best val AUC: {results['best_val_auc']:.4f}")
+    return results
+
+
+def run_sweep(
+    base_args: argparse.Namespace,
+    trial_overrides: List[Dict],
+) -> List[Dict]:
+    """In-process HP sweep: sequential trials on this host's mesh.
+
+    Trials are independent runs (the reference's Vertex HP-tuning jobs,
+    BASELINE config 5); on a multi-slice TPU deployment each slice runs its
+    own trial of this function — trials never communicate, so the sweep is
+    embarrassingly parallel across slices.
+    """
+    results = []
+    for i, overrides in enumerate(trial_overrides):
+        args = argparse.Namespace(**{**vars(base_args), **overrides})
+        print(f"=== Trial {i + 1}/{len(trial_overrides)}: {overrides} ===")
+        r = train_with_hptune(args)
+        r["trial"] = i
+        r["overrides"] = overrides
+        results.append(r)
+    best = max(results, key=lambda r: r["best_val_auc"])
+    print(f"Best trial: {best['trial']} val_auc={best['best_val_auc']:.4f}")
+    return results
+
+
+def main():  # pragma: no cover
+    train_with_hptune(parse_args())
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
