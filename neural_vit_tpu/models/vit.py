@@ -98,8 +98,10 @@ class Attention(nn.Module):
             3 * d, use_bias=True, kernel_init=trunc_init,
             dtype=dtype, param_dtype=jnp.dtype(cfg.param_dtype), name="qkv",
         )(x)
-        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # Heads-last (B, N, H, Dh): q/k/v are plain slices of the projection
+        # output — no transpose copies on the way into the attention kernel.
+        qkv = qkv.reshape(b, n, 3, h, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         dropout_rng = None
         if cfg.attention_dropout > 0.0 and not deterministic:
@@ -119,7 +121,7 @@ class Attention(nn.Module):
             # get_attention_maps (model.py:345-347).
             self.sow("intermediates", "attention", weights)
 
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        out = out.reshape(b, n, d)  # heads-last: (B, N, H, Dh) → (B, N, D)
         out = nn.Dense(
             d, kernel_init=trunc_init, dtype=dtype,
             param_dtype=jnp.dtype(cfg.param_dtype), name="proj",

@@ -5,13 +5,14 @@ The reference materializes the full O(N²) attention matrix per head
 
   * `flash`: a Pallas blockwise-softmax kernel (`ops/flash_attention.py`)
     that never materializes N² in HBM — used on TPU when no attention-weight
-    readout is requested.
-  * `xla`: a reference einsum + softmax path — used on CPU, for parity tests,
-    and when per-head attention maps are requested (interpretability parity
-    with `get_attention_maps`, reference `models/model.py:325-350`).
+    readout is requested (the XLA path OOMs at production batch sizes).
+  * `xla`: a reference einsum + softmax path — used on CPU, for parity
+    tests, and when per-head attention maps are requested (interpretability
+    parity with `get_attention_maps`, reference `models/model.py:325-350`).
 
-Both paths produce identical math (flash path verified against xla in
-tests/test_flash_attention.py).
+Operand layout is heads-last (B, N, H, Dh) on both paths: q/k/v arrive as
+plain slices of the fused qkv projection with no transpose copies.
+Both paths produce identical math (verified in tests/test_flash_attention.py).
 """
 
 from __future__ import annotations
@@ -39,16 +40,19 @@ def xla_attention(
     dropout_rng: Optional[jax.Array] = None,
     return_weights: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Reference attention. q/k/v: (B, H, N, Dh). Returns (out, weights?)."""
+    """Reference attention. q/k/v: (B, N, H, Dh) heads-last.
+
+    Returns (out (B, N, H, Dh), weights (B, H, N, N) or None).
+    """
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
     weights = jax.nn.softmax(logits, axis=-1)
     attn = weights.astype(q.dtype)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
         attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
     return out, (weights if return_weights else None)
 
 
@@ -64,7 +68,7 @@ def multi_head_attention(
     use_flash: bool = True,
     return_weights: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Dispatching attention core. q/k/v: (B, H, N, Dh)."""
+    """Dispatching attention core. q/k/v: (B, N, H, Dh) heads-last."""
     if return_weights or not use_flash or not _on_tpu():
         return xla_attention(
             q, k, v, scale, dropout_rate, deterministic, dropout_rng,

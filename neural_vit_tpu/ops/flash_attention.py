@@ -1,28 +1,37 @@
 """Pallas TPU fused attention (flash attention) with custom VJP.
 
 Replaces the reference's materialized O(N²) attention
-(`models/model.py:106-119`): per grid step we compute one query block's
-(Bq × N) logits entirely in VMEM, take a numerically-stable softmax, and
-multiply into V — the full B·H·N² probability tensor never touches HBM in
-either the forward or backward pass. For this model family N is short
-(513 tokens at default dims, ~2k at production spectrogram dims), so K/V for
-one (batch, head) fit comfortably in VMEM and a single-pass row-block softmax
-is both simpler and faster than multi-block online softmax.
+(`models/model.py:106-119`): per grid step one query block's (Bq × N)
+logits live entirely in VMEM, softmax is taken there, and the result is
+multiplied into V — the full B·H·N² probability tensor never touches HBM in
+either direction. For this model family N is short (513 tokens at default
+dims, ~2k at production spectrogram dims), so K/V for one (batch, head) fit
+comfortably in VMEM and a single-pass row-block softmax beats multi-block
+online softmax.
 
-Attention-probability dropout (reference `Attention.attn_drop`) runs
-*inside* the kernel via the TPU PRNG: the keep mask is a pure function of
-(seed, batch·head, q-block) and is regenerated bit-identically in the
-backward kernel, so the train path stays fused end-to-end.
+Layout: the public API is heads-last (B, N, H, Dh) — q/k/v arrive as
+plain slices of the fused qkv projection. Internally operands fold to
+(B·H, N, Dh) so the kernel's tiled trailing dims are (N, Dh), the shape the
+MXU wants (Mosaic requires the last two block dims whole-or-aligned, which
+rules out per-head blocks of a heads-last array). The fold is one transpose
+copy per operand — ~2% of forward wall-clock at production shapes. MXU
+matmuls run in the input dtype (bf16 on the train path) with f32
+accumulation; softmax math is f32.
 
-Backward follows the standard flash decomposition per query block
-(the softmax normalizer is recomputed rather than stored — the score block
-is already being recomputed, so saving lse would only add HBM traffic):
+Attention-probability dropout (reference `Attention.attn_drop`) runs inside
+the kernel: the keep mask is a counter-based hash of
+(seed, batch, head, q-block, position), regenerated bit-identically in the
+backward kernel — no mask tensor is stored, and the train path stays fused.
+
+Backward follows the standard flash decomposition per query block, with the
+softmax normalizer recomputed rather than stored (the score block is being
+recomputed anyway, so saving lse would only add HBM traffic):
     P  = softmax(S)              (recomputed, never stored)
     dV += (P∘M)ᵀ dO
     dP = (dO Vᵀ)∘M
     dS = P ∘ (dP - rowsum(dP∘P))
     dQ = dS K · scale,   dK += dSᵀ Q · scale
-with dK/dV accumulated across sequential TPU grid steps.
+dK/dV accumulate in f32 across the sequential q-block grid steps.
 """
 
 from __future__ import annotations
@@ -43,7 +52,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _kv_mask(n_valid: int, n_pad: int, bq: int):
-    """(1, n_pad) additive mask: 0 for real keys, -inf for padding."""
+    """(Bq, n_pad) additive mask: 0 for real keys, -inf for padding."""
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
     return jnp.where(col < n_valid, 0.0, _NEG_INF).astype(jnp.float32)
 
@@ -76,26 +85,30 @@ def _dropout_keep(shape, rate: float, seed):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
+def _program_seed(seed_ref):
+    bh, qi = pl.program_id(0), pl.program_id(1)
+    return seed_ref[0] + bh * pl.num_programs(1) + qi
+
+
+def _softmax_probs(q, k, scale, n_valid):
+    """(Bq, Dh) × (Nk, Dh) → exact softmax probabilities (Bq, Nk) in f32."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s = s + _kv_mask(n_valid, k.shape[0], q.shape[0])
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
-    bh, qi = pl.program_id(0), pl.program_id(1)
-    # MXU matmuls run in the input dtype (bf16 on the train path) with f32
-    # accumulation; softmax math stays f32.
     q = q_ref[0]                               # (Bq, Dh)
     k = k_ref[0]                               # (Nk, Dh)
     v = v_ref[0]
-    bq, n_pad = q.shape[0], k.shape[0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                  # (Bq, Nk) f32
-    s = s + _kv_mask(n_valid, n_pad, bq)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p = _softmax_probs(q, k, scale, n_valid)
     if dropout_rate > 0.0:
-        seed = seed_ref[0] + bh * pl.num_programs(1) + qi
-        p = p * _dropout_keep(p.shape, dropout_rate, seed)
+        p = p * _dropout_keep(p.shape, dropout_rate, _program_seed(seed_ref))
     o_ref[0] = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -105,25 +118,16 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
-    bh, qi = pl.program_id(0), pl.program_id(1)
+    qi = pl.program_id(1)
     q = q_ref[0]                               # (Bq, Dh)
     k = k_ref[0]                               # (Nk, Dh)
     v = v_ref[0]
     do = do_ref[0]                             # (Bq, Dh)
-    bq, n_pad = q.shape[0], k.shape[0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s + _kv_mask(n_valid, n_pad, bq)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (Bq, Nk) — exact fwd probs
+    p = _softmax_probs(q, k, scale, n_valid)
 
     if dropout_rate > 0.0:
         # Same per-program seed as forward ⇒ bit-identical mask.
-        seed = seed_ref[0] + bh * pl.num_programs(1) + qi
-        keep = _dropout_keep(p.shape, dropout_rate, seed)
+        keep = _dropout_keep(p.shape, dropout_rate, _program_seed(seed_ref))
         p_drop = p * keep
     else:
         keep = None
@@ -134,7 +138,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     )
     dp = dp_drop * keep if keep is not None else dp_drop
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)                      # (Bq, Nk)
+    ds = p * (dp - delta)                      # (Bq, Nk) f32
 
     ds_c = ds.astype(q.dtype)
     dq_ref[0] = (jax.lax.dot_general(
@@ -154,21 +158,31 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dk_ref[0] += dk_part.astype(dk_ref.dtype)
-    dv_ref[0] += dv_part.astype(dv_ref.dtype)
+    dk_ref[0] += dk_part
+    dv_ref[0] += dv_part
 
 
 def _pick_block_q(n_pad: int) -> int:
-    """Largest power-of-two block ≤ 512 that divides n_pad (n_pad is always a
-    multiple of 128, so 128 is a guaranteed fallback)."""
-    for bq in (512, 256, 128):
+    """Largest multiple-of-128 divisor of n_pad, capped so the (Bq, n_pad)
+    f32 score block stays ≲ 4 MB of VMEM. One program per (batch, head)
+    when the whole sequence fits (e.g. n_pad=640 → bq=640)."""
+    cap = max(128, (4 * 1024 * 1024) // (4 * n_pad) // 128 * 128)
+    cap = min(cap, 1024)
+    best = 128
+    for bq in range(128, cap + 1, 128):
         if n_pad % bq == 0:
-            return bq
-    return n_pad
+            best = bq
+    return best
+
+
+def _specs(bq: int, n_pad: int, dh: int):
+    q_spec = pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0))
+    kv_spec = pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0))
+    return q_spec, kv_spec
 
 
 def _flash_call(q, k, v, seed, *, scale, dropout_rate, interpret):
-    """q/k/v: (BH, N, Dh) → out."""
+    """q/k/v: (BH, N, Dh) → out (BH, N, Dh)."""
     bh_dim, n, dh = q.shape
     n_pad = _ceil_to(n, 128)
     bq = _pick_block_q(n_pad)
@@ -181,22 +195,19 @@ def _flash_call(q, k, v, seed, *, scale, dropout_rate, interpret):
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
     )
+    q_spec, kv_spec = _specs(bq, n_pad, dh)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
-                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
         ),
         out_shape=jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
         interpret=interpret,
     )(seed, q, k, v)
-    return out[:, :n, :]
+    return out[:, :n]
 
 
 def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
@@ -212,22 +223,14 @@ def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
     )
+    q_spec, kv_spec = _specs(bq, n_pad, dh)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
-                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0)),
-                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
-                pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0)),
-            ],
+            in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+            out_specs=[q_spec, kv_spec, kv_spec],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
@@ -238,15 +241,13 @@ def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
         interpret=interpret,
     )(seed, q, k, v, do)
     return (
-        dq[:, :n, :],
-        dk[:, :n, :].astype(q.dtype),
-        dv[:, :n, :].astype(q.dtype),
+        dq[:, :n],
+        dk[:, :n].astype(q.dtype),
+        dv[:, :n].astype(q.dtype),
     )
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 6)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6))
 def _flash_core(q, k, v, scale, dropout_rate, seed, interpret):
     return _flash_call(
         q, k, v, seed, scale=scale, dropout_rate=dropout_rate,
@@ -284,16 +285,19 @@ def flash_attention(
     dropout_rng: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention over (B, H, N, Dh) inputs.
+    """Fused attention over (B, N, H, Dh) heads-last operands.
 
     Args:
         scale: logit scale (head_dim ** -0.5 in the model).
         dropout_rate: attention-probability dropout (train only; pass 0.0
             for eval). Requires dropout_rng when > 0.
         interpret: run the Pallas interpreter (CPU tests).
+
+    Returns:
+        (B, N, H, Dh) attention output.
     """
-    b, h, n, dh = q.shape
-    fold = lambda x: x.reshape(b * h, n, dh)
+    b, n, h, dh = q.shape
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
     if dropout_rate > 0.0:
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 requires dropout_rng")
@@ -305,4 +309,4 @@ def flash_attention(
     out = _flash_core(
         fold(q), fold(k), fold(v), scale, float(dropout_rate), seed, interpret
     )
-    return out.reshape(b, h, n, dh)
+    return out.reshape(b, h, n, dh).transpose(0, 2, 1, 3)

@@ -67,3 +67,7 @@ class TrainConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"
     use_flash_attention: bool = True
+    # PRNG for dropout/drop-path streams. 'rbg' lowers to the XLA
+    # RngBitGenerator (hardware-accelerated on TPU); the default threefry
+    # costs ~25% of a train step generating the big dropout masks.
+    prng_impl: str = "rbg"

@@ -234,8 +234,8 @@ def train(cfg: TrainConfig) -> Dict:
         weight_decay=cfg.weight_decay,
     )
 
-    rng = jax.random.key(cfg.seed)
-    init_rng, dropout_rng = jax.random.split(rng)
+    init_rng = jax.random.key(cfg.seed)
+    dropout_rng = jax.random.key(cfg.seed + 1, impl=cfg.prng_impl)
     sample = jnp.zeros((1, cfg.n_trials, freq_size, time_size), jnp.float32)
     variables = model.init(init_rng, sample)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))

@@ -1,5 +1,6 @@
 """Flash attention kernel vs the XLA reference path (interpret mode on CPU;
-the same kernel code compiles via Mosaic on TPU)."""
+the same kernel code compiles via Mosaic on TPU). Operands are heads-last
+(B, N, H, Dh)."""
 
 import jax
 import jax.numpy as jnp
@@ -10,8 +11,8 @@ from neural_vit_tpu.ops.attention import xla_attention
 from neural_vit_tpu.ops.flash_attention import flash_attention
 
 
-def _qkv(rng, b=2, h=3, n=129, dh=64, dtype=np.float32):
-    shape = (b, h, n, dh)
+def _qkv(rng, b=2, n=129, h=3, dh=64, dtype=np.float32):
+    shape = (b, n, h, dh)
     return (
         jnp.asarray(rng.standard_normal(shape), dtype),
         jnp.asarray(rng.standard_normal(shape), dtype),
@@ -29,7 +30,7 @@ def test_forward_matches_xla(rng, n):
 
 
 def test_gradients_match_xla(rng):
-    q, k, v = _qkv(rng, b=1, h=2, n=200)
+    q, k, v = _qkv(rng, b=1, n=200, h=2)
     scale = 64 ** -0.5
 
     def loss_flash(q, k, v):
@@ -50,7 +51,7 @@ def test_gradients_match_xla(rng):
 
 
 def test_dropout_statistics_and_determinism(rng):
-    q, k, v = _qkv(rng, b=1, h=1, n=128)
+    q, k, v = _qkv(rng, b=1, n=128, h=1)
     scale = 64 ** -0.5
     key = jax.random.key(11)
     o1 = flash_attention(q, k, v, scale=scale, dropout_rate=0.5,
@@ -75,10 +76,22 @@ def test_dropout_statistics_and_determinism(rng):
     assert corr > 0.95
 
 
+def test_dropout_differs_across_heads_and_blocks(rng):
+    """The per-program seed must vary with (batch, head): identical q/k/v in
+    two heads must get different masks."""
+    q1, k1, v1 = _qkv(rng, b=1, n=128, h=1)
+    q = jnp.concatenate([q1, q1], axis=2)
+    k = jnp.concatenate([k1, k1], axis=2)
+    v = jnp.concatenate([v1, v1], axis=2)
+    out = flash_attention(q, k, v, scale=0.125, dropout_rate=0.5,
+                          dropout_rng=jax.random.key(0), interpret=True)
+    assert not np.allclose(np.asarray(out[:, :, 0]), np.asarray(out[:, :, 1]))
+
+
 def test_dropout_grad_uses_same_mask(rng):
     """Forward and backward must see an identical keep mask: the VJP of a
     fixed-seed dropout attention must match finite differences."""
-    q, k, v = _qkv(rng, b=1, h=1, n=128, dh=64)
+    q, k, v = _qkv(rng, b=1, n=128, h=1)
     scale = 64 ** -0.5
     key = jax.random.key(5)
 
@@ -88,7 +101,6 @@ def test_dropout_grad_uses_same_mask(rng):
         return jnp.sum(o ** 2)
 
     g = jax.grad(f)(q)
-    # Directional finite difference.
     d = jnp.asarray(np.random.default_rng(0).standard_normal(q.shape), q.dtype)
     eps = 1e-3
     fd = (f(q + eps * d) - f(q - eps * d)) / (2 * eps)
