@@ -139,7 +139,22 @@ def stack_traces(
     trace_cells: Sequence, expected_len: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Parse + stack a column of raw traces into a dense (n, L) float32 array
-    and a validity mask (False where a trace is empty/short)."""
+    and a validity mask (False where a trace is empty/short).
+
+    String columns (the BigQuery "[v1, v2, …]" form) go through the native
+    C++ column parser (`neural_vit_tpu/native`) when available — one C call
+    for the whole column instead of a Python loop.
+    """
+    if (
+        expected_len is not None
+        and len(trace_cells) > 0
+        and all(isinstance(t, str) for t in trace_cells)
+    ):
+        from neural_vit_tpu import native
+
+        result = native.parse_string_traces(list(trace_cells), expected_len)
+        if result is not None:
+            return result
     parsed = [parse_trace(t) for t in trace_cells]
     if expected_len is None:
         lens = [p.size for p in parsed if p.size > 0]

@@ -61,6 +61,10 @@ class TrainConfig:
 
     # --- checkpointing ---
     checkpoint_metric: str = "val_acc"  # train.py uses val_acc; hptune val_auc
+    # Resume: "<dir>/<name>" of a saved checkpoint; params are restored
+    # before training (no load path exists in the reference — SURVEY §5 —
+    # but TPU pods preempt, so resume is first-class here).
+    resume_from: Optional[str] = None
 
     # --- TPU execution ---
     mesh: MeshSpec = field(default_factory=MeshSpec)

@@ -241,9 +241,22 @@ def train(cfg: TrainConfig) -> Dict:
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
     print(f"Model parameters: {n_params:,}")
 
-    state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=tx
-    )
+    params = variables["params"]
+    if cfg.resume_from:
+        from neural_vit_tpu.training.checkpoint import restore_checkpoint
+
+        directory, _, name = cfg.resume_from.rpartition("/")
+        params, restored_cfg, extra = restore_checkpoint(
+            directory, name, abstract_params=jax.eval_shape(lambda: params)
+        )
+        if restored_cfg != model_config:
+            raise ValueError(
+                "Checkpoint model config does not match the configured model: "
+                f"{restored_cfg} vs {model_config}"
+            )
+        print(f"Resumed params from {cfg.resume_from} (extra: {extra})")
+
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     # Place the whole state on the mesh: TP rules where they match
     # (params and the mirrored AdamW mu/nu trees), replicated elsewhere.
     state = jax.device_put(state, param_shardings(state, mesh))

@@ -144,6 +144,30 @@ def test_end_to_end_training_tiny(prepared_splits):
     assert len(test_recs) == 1
 
 
+def test_resume_from_checkpoint(prepared_splits):
+    tmp, out = prepared_splits
+    base = dict(
+        train_paths=[out["train"]], val_paths=[out["val"]],
+        test_paths=[out["test"]], output_dir=str(tmp / "runs2"),
+        epochs=1, n_trials=4, stride=2, model_size="tiny",
+        embed_dim=64, n_heads=2, n_layers=2,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        loader=DataLoaderConfig(batch_size=16),
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    r1 = train(TrainConfig(**base, run_name="seed"))
+    ckpt = r1["final_checkpoint"]
+    r2 = train(TrainConfig(**base, run_name="resumed", resume_from=ckpt))
+    # Resumed run continues from trained params: first-epoch train loss is
+    # below the cold-start first-epoch loss.
+    assert r2["history"][0]["train/loss"] < r1["history"][0]["train/loss"]
+    # Mismatched architecture is rejected.
+    with pytest.raises(ValueError, match="config does not match"):
+        train(TrainConfig(**{**base, "embed_dim": 128},
+                          run_name="bad", resume_from=ckpt))
+
+
 def test_training_rejects_bad_config():
     with pytest.raises(ValueError):
         train(TrainConfig())
