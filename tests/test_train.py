@@ -149,7 +149,7 @@ def test_resume_from_checkpoint(prepared_splits):
     base = dict(
         train_paths=[out["train"]], val_paths=[out["val"]],
         test_paths=[out["test"]], output_dir=str(tmp / "runs2"),
-        epochs=1, n_trials=4, stride=2, model_size="tiny",
+        epochs=2, lr=1e-3, n_trials=4, stride=2, model_size="tiny",
         embed_dim=64, n_heads=2, n_layers=2,
         patch_trial=2, patch_freq=8, patch_time=8,
         dropout=0.0, attention_dropout=0.0, drop_path=0.0,
