@@ -15,7 +15,6 @@ import time
 import warnings
 from typing import Dict, Optional
 
-import numpy as np
 from sklearn.exceptions import ConvergenceWarning
 from sklearn.linear_model import LogisticRegression
 from sklearn.metrics import accuracy_score, roc_auc_score

@@ -11,7 +11,6 @@ from __future__ import annotations
 from collections import Counter
 from typing import Dict, Optional
 
-import numpy as np
 import pandas as pd
 
 from neural_vit_tpu.data.sequences import parse_trace

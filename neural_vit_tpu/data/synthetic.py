@@ -11,7 +11,6 @@ sessions, which end-to-end training tests assert.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import pandas as pd

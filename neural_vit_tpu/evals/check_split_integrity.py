@@ -13,7 +13,6 @@ import sys
 from itertools import combinations
 from typing import Dict, List
 
-import pandas as pd
 
 from neural_vit_tpu.data.parquet_io import open_dataset
 

@@ -24,7 +24,6 @@ Stochastic regularization threads explicit PRNG state: pass
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

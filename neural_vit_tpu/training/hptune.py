@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from dataclasses import replace
 from typing import Dict, List, Optional
 
 from neural_vit_tpu.data.loader import DataLoaderConfig

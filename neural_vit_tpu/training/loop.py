@@ -22,11 +22,10 @@ the scheduler/early-stopping superset in `train_hptune.py:226-528`):
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +45,6 @@ from neural_vit_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     param_shardings,
-    replicated,
 )
 from neural_vit_tpu.training.checkpoint import save_checkpoint
 from neural_vit_tpu.training.config import TrainConfig

@@ -18,7 +18,6 @@ from neural_vit_tpu.data.loader import (
     build_dataloaders,
 )
 from neural_vit_tpu.data.pipeline import (
-    compute_spectrogram_stats,
     preprocess_splits,
 )
 from neural_vit_tpu.data.sequences import (

@@ -16,7 +16,6 @@ from neural_vit_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     param_shardings,
-    replicated,
 )
 from neural_vit_tpu.training.loop import TrainState, make_step_fns
 

@@ -4,7 +4,6 @@ metrics JSONL parses — plus schedule/loss-masking unit checks."""
 
 import glob
 import json
-import os
 
 import jax
 import jax.numpy as jnp
