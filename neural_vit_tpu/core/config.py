@@ -54,6 +54,9 @@ class Temporal3DViTConfig:
     use_flash_attention: bool = True   # Pallas kernel when available
     compute_dtype: str = "bfloat16"    # matmul/activation dtype on TPU
     param_dtype: str = "float32"       # parameter storage dtype
+    remat: bool = False                # rematerialize blocks in backward
+                                       # (trade ~30% FLOPs for O(layers)
+                                       # less activation HBM → bigger batch)
 
     # ---- derived ----
     @property

@@ -251,8 +251,13 @@ class Temporal3DViT(nn.Module):
 
         # Linear stochastic-depth decay (reference `model.py:227`).
         dpr = np.linspace(0.0, cfg.drop_path, cfg.n_layers)
+        block_cls = TransformerBlock
+        if cfg.remat:
+            # Recompute each block in the backward pass instead of saving
+            # its activations (jax.checkpoint): O(n_layers) less HBM.
+            block_cls = nn.remat(TransformerBlock, static_argnums=(2, 3))
         for i in range(cfg.n_layers):
-            x = TransformerBlock(
+            x = block_cls(
                 cfg, drop_path_rate=float(dpr[i]), name=f"block_{i}"
             )(x, deterministic, store_attention)
 

@@ -85,8 +85,9 @@ def _dropout_keep(shape, rate: float, seed):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _program_seed(seed_ref):
-    bh, qi = pl.program_id(0), pl.program_id(1)
+def _program_seed(seed_ref, j: int, bh_block: int):
+    bh = pl.program_id(0) * bh_block + j
+    qi = pl.program_id(1)
     return seed_ref[0] + bh * pl.num_programs(1) + qi
 
 
@@ -103,63 +104,74 @@ def _softmax_probs(q, k, scale, n_valid):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
-    q = q_ref[0]                               # (Bq, Dh)
-    k = k_ref[0]                               # (Nk, Dh)
-    v = v_ref[0]
-    p = _softmax_probs(q, k, scale, n_valid)
-    if dropout_rate > 0.0:
-        p = p * _dropout_keep(p.shape, dropout_rate, _program_seed(seed_ref))
-    o_ref[0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    bh_block = q_ref.shape[0]
+    for j in range(bh_block):  # static unroll amortizes per-program overhead
+        q = q_ref[j]                           # (Bq, Dh)
+        k = k_ref[j]                           # (Nk, Dh)
+        v = v_ref[j]
+        p = _softmax_probs(q, k, scale, n_valid)
+        if dropout_rate > 0.0:
+            p = p * _dropout_keep(
+                p.shape, dropout_rate, _program_seed(seed_ref, j, bh_block)
+            )
+        o_ref[j] = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
     qi = pl.program_id(1)
-    q = q_ref[0]                               # (Bq, Dh)
-    k = k_ref[0]                               # (Nk, Dh)
-    v = v_ref[0]
-    do = do_ref[0]                             # (Bq, Dh)
-    p = _softmax_probs(q, k, scale, n_valid)
-
-    if dropout_rate > 0.0:
-        # Same per-program seed as forward ⇒ bit-identical mask.
-        keep = _dropout_keep(p.shape, dropout_rate, _program_seed(seed_ref))
-        p_drop = p * keep
-    else:
-        keep = None
-        p_drop = p
-
-    dp_drop = jax.lax.dot_general(             # dO Vᵀ: (Bq, Nk)
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = dp_drop * keep if keep is not None else dp_drop
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)                      # (Bq, Nk) f32
-
-    ds_c = ds.astype(q.dtype)
-    dq_ref[0] = (jax.lax.dot_general(
-        ds_c, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale).astype(dq_ref.dtype)
-
-    dk_part = jax.lax.dot_general(             # dSᵀ Q: (Nk, Dh)
-        ds_c, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    dv_part = jax.lax.dot_general(             # P̃ᵀ dO: (Nk, Dh)
-        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    bh_block = q_ref.shape[0]
 
     @pl.when(qi == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
-    dk_ref[0] += dk_part
-    dv_ref[0] += dv_part
+    for j in range(bh_block):
+        q = q_ref[j]                           # (Bq, Dh)
+        k = k_ref[j]                           # (Nk, Dh)
+        v = v_ref[j]
+        do = do_ref[j]                         # (Bq, Dh)
+        p = _softmax_probs(q, k, scale, n_valid)
+
+        if dropout_rate > 0.0:
+            # Same per-program seed as forward ⇒ bit-identical mask.
+            keep = _dropout_keep(
+                p.shape, dropout_rate, _program_seed(seed_ref, j, bh_block)
+            )
+            p_drop = p * keep
+        else:
+            keep = None
+            p_drop = p
+
+        dp_drop = jax.lax.dot_general(         # dO Vᵀ: (Bq, Nk)
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = dp_drop * keep if keep is not None else dp_drop
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)                  # (Bq, Nk) f32
+
+        ds_c = ds.astype(q.dtype)
+        dq_ref[j] = (jax.lax.dot_general(
+            ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+
+        dk_part = jax.lax.dot_general(         # dSᵀ Q: (Nk, Dh)
+            ds_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dv_part = jax.lax.dot_general(         # P̃ᵀ dO: (Nk, Dh)
+            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_ref[j] += dk_part
+        dv_ref[j] += dv_part
 
 
 def _pick_block_q(n_pad: int) -> int:
@@ -175,9 +187,31 @@ def _pick_block_q(n_pad: int) -> int:
     return best
 
 
-def _specs(bq: int, n_pad: int, dh: int):
-    q_spec = pl.BlockSpec((1, bq, dh), lambda b, i, *_: (b, i, 0))
-    kv_spec = pl.BlockSpec((1, n_pad, dh), lambda b, i, *_: (b, 0, 0))
+def _pick_bh_block(
+    bh_dim: int, n_pad: int, bq: int, dh: int, bwd: bool, dropout: bool
+) -> int:
+    """(B·H)-blocking: several (batch, head) pairs per grid program to
+    amortize per-program latency. Bounded by a conservative VMEM stack
+    estimate: double-buffered operand blocks plus the live (Bq, Nk) f32
+    score-block intermediates (softmax probs, dP, dS, mask, ... — the bulk
+    of the backward pass's scratch)."""
+    inter = (6 if bwd else 3) * bq * n_pad * 4
+    if dropout:
+        inter += bq * n_pad * 4
+    if bwd:
+        per_bh = 2 * dh * (bq * (2 + 2 + 2) + n_pad * (2 + 2 + 4 + 4))
+    else:
+        per_bh = 2 * dh * (bq * (2 + 2) + n_pad * (2 + 2))
+    limit = 13 * 1024 * 1024
+    for cand in (8, 4, 2, 1):
+        if bh_dim % cand == 0 and inter + cand * per_bh <= limit:
+            return cand
+    return 1
+
+
+def _specs(bhb: int, bq: int, n_pad: int, dh: int):
+    q_spec = pl.BlockSpec((bhb, bq, dh), lambda b, i, *_: (b, i, 0))
+    kv_spec = pl.BlockSpec((bhb, n_pad, dh), lambda b, i, *_: (b, 0, 0))
     return q_spec, kv_spec
 
 
@@ -191,11 +225,12 @@ def _flash_call(q, k, v, seed, *, scale, dropout_rate, interpret):
         pad = [(0, 0), (0, n_pad - n), (0, 0)]
         q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
 
-    grid = (bh_dim, n_q)
+    bhb = _pick_bh_block(bh_dim, n_pad, bq, dh, bwd=False, dropout=dropout_rate > 0)
+    grid = (bh_dim // bhb, n_q)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
     )
-    q_spec, kv_spec = _specs(bq, n_pad, dh)
+    q_spec, kv_spec = _specs(bhb, bq, n_pad, dh)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -219,11 +254,12 @@ def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
         pad = [(0, 0), (0, n_pad - n), (0, 0)]
         q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
 
-    grid = (bh_dim, n_q)
+    bhb = _pick_bh_block(bh_dim, n_pad, bq, dh, bwd=True, dropout=dropout_rate > 0)
+    grid = (bh_dim // bhb, n_q)
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
     )
-    q_spec, kv_spec = _specs(bq, n_pad, dh)
+    q_spec, kv_spec = _specs(bhb, bq, n_pad, dh)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -95,6 +95,23 @@ def test_attention_maps_shape():
         )
 
 
+def test_remat_matches_no_remat():
+    """cfg.remat trades FLOPs for memory without changing values/grads."""
+    model, variables, x = _init(TINY)
+    model_r = Temporal3DViT(TINY.replace(remat=True))
+    a = model.apply(variables, x)
+    b = model_r.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    ga = jax.grad(loss(model))(variables["params"])
+    gb = jax.grad(loss(model_r))(variables["params"])
+    for la, lb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-7)
+
+
 def test_param_count_small_config():
     """~14 M params for 'small' at default dims (SURVEY §6)."""
     cfg = CONFIGS["small"].replace(compute_dtype="float32")
