@@ -91,12 +91,14 @@ def _program_seed(seed_ref, j: int, bh_block: int):
     return seed_ref[0] + bh * pl.num_programs(1) + qi
 
 
-def _softmax_probs(q, k, scale, n_valid):
-    """(Bq, Dh) × (Nk, Dh) → exact softmax probabilities (Bq, Nk) in f32."""
+def _softmax_probs(q, k, scale, mask):
+    """(Bq, Dh) × (Nk, Dh) → exact softmax probabilities (Bq, Nk) in f32.
+    `mask` is the precomputed additive padding mask (hoisted out of the
+    per-head loop — it is identical for every (batch, head))."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    s = s + _kv_mask(n_valid, k.shape[0], q.shape[0])
+    s = s + mask
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     return p / jnp.sum(p, axis=-1, keepdims=True)
@@ -105,11 +107,12 @@ def _softmax_probs(q, k, scale, n_valid):
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
     bh_block = q_ref.shape[0]
+    mask = _kv_mask(n_valid, k_ref.shape[1], q_ref.shape[1])
     for j in range(bh_block):  # static unroll amortizes per-program overhead
         q = q_ref[j]                           # (Bq, Dh)
         k = k_ref[j]                           # (Nk, Dh)
         v = v_ref[j]
-        p = _softmax_probs(q, k, scale, n_valid)
+        p = _softmax_probs(q, k, scale, mask)
         if dropout_rate > 0.0:
             p = p * _dropout_keep(
                 p.shape, dropout_rate, _program_seed(seed_ref, j, bh_block)
@@ -131,12 +134,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         dk_ref[...] = jnp.zeros_like(dk_ref[...])
         dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
+    mask = _kv_mask(n_valid, k_ref.shape[1], q_ref.shape[1])
     for j in range(bh_block):
         q = q_ref[j]                           # (Bq, Dh)
         k = k_ref[j]                           # (Nk, Dh)
         v = v_ref[j]
         do = do_ref[j]                         # (Bq, Dh)
-        p = _softmax_probs(q, k, scale, n_valid)
+        p = _softmax_probs(q, k, scale, mask)
 
         if dropout_rate > 0.0:
             # Same per-program seed as forward ⇒ bit-identical mask.

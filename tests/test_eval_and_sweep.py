@@ -1,0 +1,78 @@
+"""Offline checkpoint evaluation and the in-process HP sweep driver."""
+
+import argparse
+
+import pytest
+
+from neural_vit_tpu.data.loader import DataLoaderConfig
+from neural_vit_tpu.data.pipeline import preprocess_splits
+from neural_vit_tpu.data.splits import create_session_splits_df
+from neural_vit_tpu.data.synthetic import synthetic_lfp_frame
+from neural_vit_tpu.ops.spectrogram import SpectrogramConfig
+from neural_vit_tpu.training.config import TrainConfig
+from neural_vit_tpu.training.eval_checkpoint import evaluate_checkpoint
+from neural_vit_tpu.training.hptune import run_sweep
+from neural_vit_tpu.training.loop import train
+
+SPEC = SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("eval_sweep")
+    df = synthetic_lfp_frame(n_sessions=8, trials_per_session=10,
+                             trace_len=5200, seed=11)
+    tr, va, te = create_session_splits_df(df, 0.25, 0.25)
+    out = {}
+    for name, d in (("train", tr), ("val", va), ("test", te)):
+        raw = str(tmp / f"{name}.parquet")
+        d.to_parquet(raw)
+        out[name] = str(tmp / f"{name}_pre.parquet")
+        out[f"{name}_raw"] = raw
+    preprocess_splits(out["train_raw"], out["val_raw"], out["test_raw"],
+                      out["train"], out["val"], out["test"],
+                      cfg=SPEC, batch_size=64, verbose=False)
+    cfg = TrainConfig(
+        train_paths=[out["train"]], val_paths=[out["val"]],
+        test_paths=[out["test"]], output_dir=str(tmp / "runs"),
+        run_name="evalrun", epochs=2, lr=1e-3, n_trials=4, stride=2,
+        model_size="tiny", embed_dim=64, n_heads=2, n_layers=2,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        loader=DataLoaderConfig(batch_size=16),
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    results = train(cfg)
+    return tmp, out, results
+
+
+def test_evaluate_checkpoint_matches_train_eval(trained):
+    tmp, out, results = trained
+    metrics = evaluate_checkpoint(
+        results["final_checkpoint"], [out["test"]],
+        n_trials=4, stride=2, batch_size=16,
+    )
+    assert metrics["n_sequences"] > 0
+    # Same params, same data, same unweighted-loss config? train's test eval
+    # used class weights+smoothing; here plain CE — acc/auc must still match
+    # (they don't depend on the loss).
+    assert metrics["acc"] == pytest.approx(results["test_acc"], abs=1e-6)
+    assert metrics["auc"] == pytest.approx(results["test_auc"], abs=1e-6)
+
+
+def test_run_sweep_picks_best(trained, capsys):
+    tmp, out, _ = trained
+    base = argparse.Namespace(
+        lr=1e-3, dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        weight_decay=0.01, label_smoothing=0.05, epochs=1, batch_size=16,
+        n_trials=4, stride=2, early_stopping_patience=0, warmup_epochs=1,
+        min_lr=1e-6, output_dir=str(tmp / "sweep"),
+        train_path=out["train"], val_path=out["val"], test_path=out["test"],
+        experiment_name=None, project_id=None, location=None,
+        model_size="tiny",
+    )
+    results = run_sweep(base, [{"lr": 1e-3}, {"lr": 3e-4}])
+    assert len(results) == 2
+    assert all("best_val_auc" in r for r in results)
+    assert {r["trial"] for r in results} == {0, 1}
+    assert "Best trial" in capsys.readouterr().out
