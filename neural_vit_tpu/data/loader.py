@@ -183,19 +183,20 @@ class BatchIterator:
         if cfg.device_resident:
             # Replicate the dense spectrogram array across the mesh once;
             # each batch gather lands already sharded over the data axis.
+            # The spec array is a jit ARGUMENT, never a closure capture — a
+            # captured array becomes a compile-time constant embedded in the
+            # executable (gigabytes shipped to the compiler).
+            take = lambda specs, idx: jnp.take(specs, idx, axis=0)
             if batch_sharding is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 rep = NamedSharding(batch_sharding.mesh, PartitionSpec())
                 specs = self.ds.to_device(rep)
-                gather = jax.jit(
-                    lambda idx: jnp.take(specs, idx, axis=0),
-                    out_shardings=batch_sharding,
-                )
+                gather = jax.jit(take, out_shardings=batch_sharding)
             else:
                 specs = self.ds.to_device()
-                gather = jax.jit(lambda idx: jnp.take(specs, idx, axis=0))
-            self._gather = gather
+                gather = jax.jit(take)
+            self._gather = lambda idx: gather(specs, idx)
 
     def __len__(self) -> int:
         n = len(self.ds)

@@ -14,12 +14,20 @@ Schema compatibility: the output parquet carries the input columns plus a
 like the reference, so its eval/baseline tooling can read our datasets and
 vice versa. Rows whose trace is shorter than the analysis window are dropped
 (reference `preprocess_to_gcs.py:51`).
+
+Backend selection: pass `backend="cpu"` to pin the fused op to the host CPU
+— right when the accelerator sits behind a thin transport (e.g. a tunneled
+dev TPU at a few MB/s) where shipping traces up and spectrograms back would
+drown the compute. On a real TPU VM (co-located HBM), leave it on the
+default device.
 """
 
 from __future__ import annotations
 
+from contextlib import nullcontext
 from typing import Iterable, Optional
 
+import jax
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -64,10 +72,17 @@ def _device_specs(dense: np.ndarray, cfg: SpectrogramConfig,
     return np.asarray(out[:n])
 
 
+def _device_ctx(backend: Optional[str]):
+    if backend is None:
+        return nullcontext()
+    return jax.default_device(jax.local_devices(backend=backend)[0])
+
+
 def compute_spectrogram_stats(
     input_paths: Iterable[str] | str,
     cfg: SpectrogramConfig,
     batch_size: int = 2048,
+    backend: Optional[str] = None,
 ) -> dict:
     """Pass 1 — stream the *train* split, accumulating Σ, Σ², count of all
     log-spectrogram pixels (reference `preprocess_to_gcs.py:72-124`).
@@ -77,16 +92,25 @@ def compute_spectrogram_stats(
     scanner = dataset.scanner(batch_size=batch_size)
     total_s = total_sq = 0.0
     total_n = 0
-    for batch in scanner.to_batches():
-        df = batch.to_pandas()
-        dense, valid = _batched_traces(df, cfg)
-        dense = dense[valid]
-        if dense.shape[0] == 0:
-            continue
-        s, sq, n = spectrogram_stats_batch(dense, cfg)
-        total_s += float(s)
-        total_sq += float(sq)
-        total_n += int(n)
+    with _device_ctx(backend):
+        for batch in scanner.to_batches():
+            df = batch.to_pandas()
+            dense, valid = _batched_traces(df, cfg)
+            dense = dense[valid]
+            if dense.shape[0] == 0:
+                continue
+            # Pad to the nominal batch size: arrow may yield ragged batch
+            # lengths and every distinct shape is a fresh XLA compile.
+            n_real = dense.shape[0]
+            if n_real < batch_size:
+                dense = np.concatenate(
+                    [dense, np.zeros((batch_size - n_real, dense.shape[1]),
+                                     dense.dtype)]
+                )
+            s, sq, n = spectrogram_stats_batch(dense, cfg, n_valid=n_real)
+            total_s += float(s)
+            total_sq += float(sq)
+            total_n += int(n)
     return finalize_stats(total_s, total_sq, total_n)
 
 
@@ -98,6 +122,7 @@ def preprocess_parquet(
     keep_trace: bool = True,
     batch_size: int = 2048,
     verbose: bool = True,
+    backend: Optional[str] = None,
 ) -> int:
     """Pass 2 — stream a split, emit spectrogram parquet
     (reference `preprocess_to_gcs.py:127-221`). Returns rows written."""
@@ -110,6 +135,8 @@ def preprocess_parquet(
 
     writer = None
     rows_written = 0
+    ctx = _device_ctx(backend)
+    ctx.__enter__()
     for idx, batch in enumerate(scanner.to_batches()):
         df = batch.to_pandas()
         dense, valid = _batched_traces(df, cfg)
@@ -118,17 +145,36 @@ def preprocess_parquet(
         if dense.shape[0] == 0:
             continue
         specs = _device_specs(dense, cfg, normalize_stats, batch_size)
-        df["spectrogram"] = [spec.tolist() for spec in specs]
+        # Build the spectrogram column as an explicit list<list<float32>>
+        # arrow array — `tolist()` would go through Python floats and land
+        # as float64, doubling dataset size and IO.
+        n, nf, nt = specs.shape
+        spec_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, n * nf + 1, dtype=np.int32) * nt),
+            pa.array(specs.reshape(-1)),
+        )
+        spec_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, n + 1, dtype=np.int32) * nf), spec_col
+        )
         if keep_trace:
             # Windowed + baseline-corrected trace, as the reference stores.
             start = int(cfg.start_time * cfg.fs)
             windowed = dense[:, : dense.shape[1] - start] if start else dense
             nb = int(cfg.baseline_end * cfg.fs)
             corrected = windowed - windowed[:, :nb].mean(axis=1, keepdims=True)
-            df["trace"] = [t.tolist() for t in corrected]
+            lt = corrected.shape[1]
+            df = df.drop(columns=["trace"])
+            trace_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, n + 1, dtype=np.int32) * lt),
+                pa.array(corrected.reshape(-1)),
+            )
         else:
             df = df.drop(columns=["trace"])
+            trace_col = None
         table = pa.Table.from_pandas(df, preserve_index=False)
+        table = table.append_column("spectrogram", spec_col)
+        if trace_col is not None:
+            table = table.append_column("trace", trace_col)
         if writer is None:
             writer = pq.ParquetWriter(
                 strip_scheme(output_path), table.schema,
@@ -141,6 +187,7 @@ def preprocess_parquet(
         if verbose:
             print(f"Processed batch {idx + 1}, rows written: {rows_written}")
 
+    ctx.__exit__(None, None, None)
     if writer is None:
         raise ValueError("No rows were read from input paths.")
     writer.close()
@@ -162,6 +209,7 @@ def preprocess_splits(
     keep_trace: bool = True,
     batch_size: int = 2048,
     verbose: bool = True,
+    backend: Optional[str] = None,
 ) -> Optional[dict]:
     """Full two-pass pipeline over the three splits
     (reference `preprocess_splits_to_gcs`, `preprocess_to_gcs.py:230-303`).
@@ -175,7 +223,7 @@ def preprocess_splits(
     if normalize:
         if verbose:
             print("Computing normalization stats from training data...")
-        stats = compute_spectrogram_stats(train_inputs, cfg, batch_size)
+        stats = compute_spectrogram_stats(train_inputs, cfg, batch_size, backend)
         if verbose:
             print(f"Stats ready. Mean={stats['mean']:.4f} Std={stats['std']:.4f}")
         if stats_output_path:
@@ -190,6 +238,6 @@ def preprocess_splits(
         preprocess_parquet(
             inputs, output, cfg,
             normalize_stats=stats, keep_trace=keep_trace,
-            batch_size=batch_size, verbose=verbose,
+            batch_size=batch_size, verbose=verbose, backend=backend,
         )
     return stats

@@ -222,22 +222,26 @@ def _stats_partial(raw: jax.Array, cfg: SpectrogramConfig):
     return jnp.sum(flat, axis=-1), jnp.sum(flat ** 2, axis=-1)
 
 
-def spectrogram_stats_batch(raw: jax.Array, cfg: SpectrogramConfig) -> Tuple[float, float, int]:
+def spectrogram_stats_batch(
+    raw: jax.Array, cfg: SpectrogramConfig, n_valid: Optional[int] = None
+) -> Tuple[float, float, int]:
     """Per-batch (Σ, Σ², count) of log-spectrogram pixels for the two-pass
     train-set normalization (reference `compute_spectrogram_stats`,
     `preprocess_to_gcs.py:72-124`). Per-trace partial sums reduce on device
     in fp32 (≤ ~30k pixels each); the cross-trace and cross-batch
     accumulation happens here in float64, matching the reference's
     host-float64 streaming accumulation.
+
+    Args:
+        n_valid: only the first n_valid traces contribute (callers pad the
+            batch to a fixed size to keep one compiled shape).
     """
     s, sq = _stats_partial(raw, cfg)
     nf, nt = spectrogram_shape(cfg, raw.shape[-1])
-    n_traces = int(np.prod(raw.shape[:-1]))
-    return (
-        float(np.sum(np.asarray(s, np.float64))),
-        float(np.sum(np.asarray(sq, np.float64))),
-        n_traces * nf * nt,
-    )
+    n_traces = int(np.prod(raw.shape[:-1])) if n_valid is None else n_valid
+    s = np.asarray(s, np.float64).reshape(-1)[:n_traces]
+    sq = np.asarray(sq, np.float64).reshape(-1)[:n_traces]
+    return float(np.sum(s)), float(np.sum(sq)), n_traces * nf * nt
 
 
 def finalize_stats(total_sum: float, total_sq: float, count: int) -> dict:

@@ -1,0 +1,140 @@
+"""Full-scale end-to-end demo at the reference's dataset scale
+(BASELINE configs 2+3): ~32 sessions / ~77k trials of synthetic LFP →
+two-pass fused preprocessing (production 126/116 spectrograms) → 'small'
+Temporal 3D ViT training with class-weighted smoothed CE → log-reg baseline
+on identical splits. Writes timing + quality artifacts to demo_results/.
+
+Run on the TPU chip:  PYTHONPATH=/root/repo python scripts/full_scale_demo.py
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, default=32)
+    # Reference scale is ~2400 trials/session (~77k trials); the dev-tunnel
+    # TPU moves data at ~3 MB/s, so the default here is a 1/8-scale run that
+    # exercises every stage end-to-end. Pass --trials_per_session 2400 on a
+    # real TPU VM.
+    ap.add_argument("--trials_per_session", type=int, default=300)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--preprocess_backend", default="cpu",
+                    help="'cpu' avoids shipping spectrograms over a thin "
+                         "tunnel; use default device on a real TPU VM")
+    ap.add_argument("--workdir", default="/tmp/full_scale_demo")
+    ap.add_argument("--outdir", default="demo_results")
+    args = ap.parse_args()
+
+    from neural_vit_tpu.baselines import logreg
+    from neural_vit_tpu.data.loader import DataLoaderConfig
+    from neural_vit_tpu.data.pipeline import preprocess_splits
+    from neural_vit_tpu.data.splits import create_session_splits_df
+    from neural_vit_tpu.data.synthetic import synthetic_lfp_frame
+    from neural_vit_tpu.evals.check_split_integrity import check_integrity
+    from neural_vit_tpu.ops.spectrogram import SpectrogramConfig
+    from neural_vit_tpu.training.config import TrainConfig
+    from neural_vit_tpu.training.loop import train
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(args.outdir, exist_ok=True)
+    report = {"scale": vars(args)}
+
+    # 1 — synthetic dataset at reference scale
+    t0 = time.perf_counter()
+    df = synthetic_lfp_frame(
+        n_sessions=args.sessions,
+        trials_per_session=args.trials_per_session,
+        trace_len=5200, seed=42,
+    )
+    report["n_trials"] = len(df)
+    print(f"Generated {len(df)} trials in {time.perf_counter()-t0:.0f}s", flush=True)
+
+    t0 = time.perf_counter()
+    tr, va, te = create_session_splits_df(df, 0.15, 0.15)
+    raw = {}
+    for name, d in (("train", tr), ("val", va), ("test", te)):
+        p = f"{args.workdir}/{name}.parquet"
+        d.to_parquet(p)
+        raw[name] = p
+    del df, tr, va, te
+    report["split_write_s"] = round(time.perf_counter() - t0, 1)
+    print(f"Splits written in {report['split_write_s']}s", flush=True)
+
+    # 2 — fused preprocessing (timed → spectrograms/sec)
+    pre = {n: f"{args.workdir}/{n}_pre.parquet" for n in ("train", "val", "test")}
+    cfg = SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
+    t0 = time.perf_counter()
+    stats = preprocess_splits(
+        raw["train"], raw["val"], raw["test"],
+        pre["train"], pre["val"], pre["test"],
+        cfg=cfg, stats_output_path=f"{args.workdir}/stats.json",
+        keep_trace=False, batch_size=2048, verbose=False,
+        backend=args.preprocess_backend or None,
+    )
+    dt = time.perf_counter() - t0
+    # Two-pass = train twice + val + test once.
+    n_total = report["n_trials"]
+    n_processed = int(n_total * 1.7)  # approx: train (~70%) twice + rest once
+    report["preprocess"] = {
+        "wall_s": round(dt, 1),
+        "spectrograms_per_sec": round(n_processed / dt, 1),
+        "stats": stats,
+    }
+    print(f"Preprocessing: {dt:.0f}s (~{n_processed/dt:,.0f} specs/s)", flush=True)
+
+    # 3 — split integrity gate
+    integ = check_integrity({k: [v] for k, v in pre.items()})
+    assert not integ["leakage"], "split leakage!"
+    report["split_integrity"] = {
+        k: {kk: vv for kk, vv in r.items()} for k, r in integ["splits"].items()
+    }
+
+    # 4 — ViT training
+    tcfg = TrainConfig(
+        train_paths=[pre["train"]], val_paths=[pre["val"]],
+        test_paths=[pre["test"]],
+        output_dir=f"{args.workdir}/runs", run_name="full-scale-demo",
+        epochs=args.epochs, lr=3e-4, model_size="small",
+        n_trials=8, stride=4,
+        dropout=0.2, attention_dropout=0.1, drop_path=0.1,
+        use_cosine_schedule=True, warmup_epochs=3,
+        early_stopping_patience=5, checkpoint_metric="val_auc",
+        loader=DataLoaderConfig(batch_size=args.batch_size, device_resident=True),
+    )
+    t0 = time.perf_counter()
+    results = train(tcfg)
+    results.pop("history", None)
+    report["vit"] = {**results, "wall_s": round(time.perf_counter() - t0, 1)}
+    print(f"ViT: test acc {results['test_acc']:.4f} auc {results['test_auc']:.4f}",
+          flush=True)
+
+    # 5 — baseline on identical splits
+    t0 = time.perf_counter()
+    bl = logreg.run(
+        pre["train"], pre["val"], pre["test"],
+        n_trials=8, stride=4, feature_mode="trial_time_stats",
+        output_dir=f"{args.workdir}/baselines",
+    )
+    report["logreg"] = {
+        "metrics": bl["metrics"], "timing": bl["timing"],
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+    out = f"{args.outdir}/full_scale_demo.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2, default=str)
+    print(f"Report → {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
