@@ -178,39 +178,32 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         dv_ref[j] += dv_part
 
 
-def _pick_block_q(n_pad: int) -> int:
-    """Largest multiple-of-128 divisor of n_pad, capped so the (Bq, n_pad)
-    f32 score block stays ≲ 4 MB of VMEM. One program per (batch, head)
-    when the whole sequence fits (e.g. n_pad=640 → bq=640)."""
-    cap = max(128, (4 * 1024 * 1024) // (4 * n_pad) // 128 * 128)
-    cap = min(cap, 1024)
-    best = 128
-    for bq in range(128, cap + 1, 128):
-        if n_pad % bq == 0:
-            best = bq
-    return best
-
-
-def _pick_bh_block(
-    bh_dim: int, n_pad: int, bq: int, dh: int, bwd: bool, dropout: bool
-) -> int:
-    """(B·H)-blocking: several (batch, head) pairs per grid program to
-    amortize per-program latency. Bounded by a conservative VMEM stack
-    estimate: double-buffered operand blocks plus the live (Bq, Nk) f32
-    score-block intermediates (softmax probs, dP, dS, mask, ... — the bulk
-    of the backward pass's scratch)."""
-    inter = (6 if bwd else 3) * bq * n_pad * 4
-    if dropout:
-        inter += bq * n_pad * 4
+def _pick_blocks(
+    bh_dim: int, n_pad: int, dh: int, bwd: bool, dropout: bool
+) -> tuple:
+    """Jointly choose (query block Bq, batch·head block) against a total
+    VMEM-stack budget: double-buffered operand blocks plus the live
+    (Bq, Nk) f32 score-block intermediates (softmax probs, dP, dS, mask,
+    keep — the bulk of the backward pass's scratch). Larger Bq wins first
+    (fewer K/V revisits), then larger bh (amortized per-program latency).
+    """
+    limit = 14 * 1024 * 1024
+    n_inter = (6 if bwd else 3) + (1 if dropout else 0)
     if bwd:
-        per_bh = 2 * dh * (bq * (2 + 2 + 2) + n_pad * (2 + 2 + 4 + 4))
+        bq_bytes, kv_bytes = (2 + 2 + 2), (2 + 2 + 4 + 4)
     else:
-        per_bh = 2 * dh * (bq * (2 + 2) + n_pad * (2 + 2))
-    limit = 13 * 1024 * 1024
-    for cand in (8, 4, 2, 1):
-        if bh_dim % cand == 0 and inter + cand * per_bh <= limit:
-            return cand
-    return 1
+        bq_bytes, kv_bytes = (2 + 2), (2 + 2)
+    for bq in range(min(n_pad, 1024), 0, -128):
+        if n_pad % bq != 0:
+            continue
+        inter = n_inter * bq * n_pad * 4
+        for bh in (8, 4, 2, 1):
+            if bh_dim % bh != 0:
+                continue
+            blocks = 2 * dh * bh * (bq * bq_bytes + n_pad * kv_bytes)
+            if inter + blocks <= limit:
+                return bq, bh
+    return 128, 1
 
 
 def _specs(bhb: int, bq: int, n_pad: int, dh: int):
@@ -223,13 +216,13 @@ def _flash_call(q, k, v, seed, *, scale, dropout_rate, interpret):
     """q/k/v: (BH, N, Dh) → out (BH, N, Dh)."""
     bh_dim, n, dh = q.shape
     n_pad = _ceil_to(n, 128)
-    bq = _pick_block_q(n_pad)
+    bq, bhb = _pick_blocks(bh_dim, n_pad, dh, bwd=False,
+                           dropout=dropout_rate > 0)
     n_q = n_pad // bq
     if n_pad != n:
         pad = [(0, 0), (0, n_pad - n), (0, 0)]
         q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
 
-    bhb = _pick_bh_block(bh_dim, n_pad, bq, dh, bwd=False, dropout=dropout_rate > 0)
     grid = (bh_dim // bhb, n_q)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
@@ -252,13 +245,13 @@ def _flash_call(q, k, v, seed, *, scale, dropout_rate, interpret):
 def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
     bh_dim, n, dh = q.shape
     n_pad = _ceil_to(n, 128)
-    bq = _pick_block_q(n_pad)
+    bq, bhb = _pick_blocks(bh_dim, n_pad, dh, bwd=True,
+                           dropout=dropout_rate > 0)
     n_q = n_pad // bq
     if n_pad != n:
         pad = [(0, 0), (0, n_pad - n), (0, 0)]
         q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
 
-    bhb = _pick_bh_block(bh_dim, n_pad, bq, dh, bwd=True, dropout=dropout_rate > 0)
     grid = (bh_dim // bhb, n_q)
     kernel = functools.partial(
         _bwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
