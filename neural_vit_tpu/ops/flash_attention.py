@@ -187,7 +187,9 @@ def _pick_blocks(
     keep — the bulk of the backward pass's scratch). Larger Bq wins first
     (fewer K/V revisits), then larger bh (amortized per-program latency).
     """
-    limit = 14 * 1024 * 1024
+    # Mosaic's real stack runs ~1.3× this estimate (measured); budget
+    # against 11 MB of the 16 MB VMEM to absorb it.
+    limit = 11 * 1024 * 1024
     n_inter = (6 if bwd else 3) + (1 if dropout else 0)
     if bwd:
         bq_bytes, kv_bytes = (2 + 2 + 2), (2 + 2 + 4 + 4)
