@@ -71,6 +71,7 @@ class TrainConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"
     use_flash_attention: bool = True
+    remat: bool = False  # rematerialize transformer blocks in backward
     # PRNG for dropout/drop-path streams. 'rbg' lowers to the XLA
     # RngBitGenerator (hardware-accelerated on TPU); the default threefry
     # costs ~25% of a train step generating the big dropout masks.

@@ -82,6 +82,7 @@ def build_model_config(cfg: TrainConfig, freq_size: int, time_size: int) -> Temp
         drop_path=cfg.drop_path,
         compute_dtype=cfg.compute_dtype,
         use_flash_attention=cfg.use_flash_attention,
+        remat=cfg.remat,
     )
 
 

@@ -107,6 +107,10 @@ def main():
         dropout=0.2, attention_dropout=0.1, drop_path=0.1,
         use_cosine_schedule=True, warmup_epochs=3,
         early_stopping_patience=5, checkpoint_metric="val_auc",
+        # Production T=488 → N=1953 tokens: remat keeps activation HBM at
+        # ~O(layers × block-input) so the device-resident dataset plus
+        # batch-64 training fits on one 16 GB chip.
+        remat=True,
         loader=DataLoaderConfig(batch_size=args.batch_size, device_resident=True),
     )
     t0 = time.perf_counter()
