@@ -187,9 +187,11 @@ def _pick_blocks(
     keep — the bulk of the backward pass's scratch). Larger Bq wins first
     (fewer K/V revisits), then larger bh (amortized per-program latency).
     """
-    # Mosaic's real stack runs ~1.3× this estimate (measured); budget
-    # against 11 MB of the 16 MB VMEM to absorb it.
-    limit = 11 * 1024 * 1024
+    # Coefficients calibrated against Mosaic's reported stack sizes on v5e
+    # (four measured configs): score-block intermediates are partially
+    # shared (~0.55× their naive sum) while operand blocks are
+    # multi-buffered (~3.8×). Budget 14 MB of the 16 MB limit.
+    limit = 14 * 1024 * 1024
     n_inter = (6 if bwd else 3) + (1 if dropout else 0)
     if bwd:
         bq_bytes, kv_bytes = (2 + 2 + 2), (2 + 2 + 4 + 4)
@@ -198,13 +200,13 @@ def _pick_blocks(
     for bq in range(min(n_pad, 1024), 0, -128):
         if n_pad % bq != 0:
             continue
-        inter = n_inter * bq * n_pad * 4
+        inter = 0.6 * n_inter * bq * n_pad * 4
         for bh in (8, 4, 2, 1):
             if bh_dim % bh != 0:
                 continue
-            blocks = 2 * dh * bh * (bq * bq_bytes + n_pad * kv_bytes)
+            blocks = 4.0 * dh * bh * (bq * bq_bytes + n_pad * kv_bytes)
             if inter + blocks <= limit:
-                return bq, bh
+                return int(bq), bh
     return 128, 1
 
 
