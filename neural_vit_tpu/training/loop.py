@@ -316,6 +316,9 @@ def train(cfg: TrainConfig) -> Dict:
                 "train/auc": tm["auc"],
                 "val/loss": vm["loss"], "val/acc": vm["acc"],
                 "val/auc": vm["auc"],
+                # Observability beyond the reference: per-epoch wall time in
+                # the same JSONL stream (collectors ignore unknown keys).
+                "perf/epoch_s": dt,
             }
             logger.log_metrics(metrics, step=epoch)
             history.append({"epoch": epoch, **metrics})
