@@ -29,13 +29,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 @dataclass(frozen=True)
 class MeshSpec:
-    """Static mesh description: data × model axes."""
+    """Static mesh description: data × model axes.
+
+    `device_indices` restricts the mesh to a subset of `jax.devices()` — the
+    mechanism behind mesh-slice HP sweeps, where each trial owns a disjoint
+    slice of the chip pool and trials never communicate.
+    """
 
     data: int = -1   # -1: all remaining devices
     model: int = 1
+    device_indices: Optional[tuple] = None
 
     def resolve(self, n_devices: Optional[int] = None) -> tuple[int, int]:
-        n = n_devices if n_devices is not None else len(jax.devices())
+        if n_devices is None:
+            n_devices = (
+                len(self.device_indices) if self.device_indices is not None
+                else len(jax.devices())
+            )
+        n = n_devices
         model = max(1, self.model)
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")
@@ -48,7 +59,11 @@ class MeshSpec:
 
 
 def make_mesh(spec: MeshSpec = MeshSpec(), devices=None) -> Mesh:
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    if devices is None:
+        devices = jax.devices()
+        if spec.device_indices is not None:
+            devices = [devices[i] for i in spec.device_indices]
+    devices = np.asarray(devices)
     data, model = spec.resolve(len(devices))
     return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
 

@@ -10,16 +10,21 @@ cloudml-hypertune (:182-189) — all layered on the shared TPU loop
 bf16 natively, no loss scaling required.
 
 HP sweeps across a TPU slice run as embarrassingly-parallel trials —
-see `run_sweep` for the in-process multi-trial driver.
+`run_sweep` partitions the device mesh into disjoint slices and runs one
+trial per slice concurrently (the in-process analogue of the reference's
+parallel Vertex trials).
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional
 
 from neural_vit_tpu.data.loader import DataLoaderConfig
+from neural_vit_tpu.parallel.mesh import MeshSpec
 from neural_vit_tpu.training.config import TrainConfig
 from neural_vit_tpu.training.loop import train
 from neural_vit_tpu.training.schedule import linear_scaled_lr
@@ -109,7 +114,11 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
     )
 
 
-def train_with_hptune(args: argparse.Namespace) -> Dict:
+def train_with_hptune(
+    args: argparse.Namespace,
+    mesh: Optional[MeshSpec] = None,
+    run_name: Optional[str] = None,
+) -> Dict:
     hpt = None
     if hypertune is not None:
         try:
@@ -121,6 +130,10 @@ def train_with_hptune(args: argparse.Namespace) -> Dict:
         print("Hypertune not available, metrics will only be logged locally.")
 
     cfg = config_from_args(args)
+    if mesh is not None:
+        cfg = dataclasses.replace(cfg, mesh=mesh)
+    if run_name is not None:
+        cfg = dataclasses.replace(cfg, run_name=run_name)
     print("=" * 60)
     print("Hyperparameter Tuning Configuration")
     print("=" * 60)
@@ -144,22 +157,51 @@ def train_with_hptune(args: argparse.Namespace) -> Dict:
 def run_sweep(
     base_args: argparse.Namespace,
     trial_overrides: List[Dict],
+    slices: int = 1,
 ) -> List[Dict]:
-    """In-process HP sweep: sequential trials on this host's mesh.
+    """In-process HP sweep over mesh slices (the reference's parallel
+    Vertex HP-tuning jobs, BASELINE config 5).
 
-    Trials are independent runs (the reference's Vertex HP-tuning jobs,
-    BASELINE config 5); on a multi-slice TPU deployment each slice runs its
-    own trial of this function — trials never communicate, so the sweep is
-    embarrassingly parallel across slices.
+    With slices > 1 the device pool partitions into `slices` disjoint
+    sub-meshes and trials run concurrently, one per slice — trials never
+    communicate, so the sweep is embarrassingly parallel across slices.
+    slices == 1 runs trials sequentially on the full mesh.
     """
-    results = []
-    for i, overrides in enumerate(trial_overrides):
+    import jax
+
+    n_trials = len(trial_overrides)
+
+    def one_trial(i: int, overrides: Dict, mesh: Optional[MeshSpec]) -> Dict:
         args = argparse.Namespace(**{**vars(base_args), **overrides})
-        print(f"=== Trial {i + 1}/{len(trial_overrides)}: {overrides} ===")
-        r = train_with_hptune(args)
+        print(f"=== Trial {i + 1}/{n_trials}: {overrides} ===")
+        r = train_with_hptune(args, mesh=mesh, run_name=f"hptune-trial-{i}")
         r["trial"] = i
         r["overrides"] = overrides
-        results.append(r)
+        return r
+
+    if slices <= 1:
+        results = [
+            one_trial(i, o, None) for i, o in enumerate(trial_overrides)
+        ]
+    else:
+        devices = jax.devices()
+        if len(devices) % slices != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible into {slices} slices"
+            )
+        per = len(devices) // slices
+        meshes = [
+            MeshSpec(data=per, model=1,
+                     device_indices=tuple(range(s * per, (s + 1) * per)))
+            for s in range(slices)
+        ]
+        results = []
+        with ThreadPoolExecutor(max_workers=slices) as pool:
+            futures = [
+                pool.submit(one_trial, i, o, meshes[i % slices])
+                for i, o in enumerate(trial_overrides)
+            ]
+            results = [f.result() for f in futures]
     best = max(results, key=lambda r: r["best_val_auc"])
     print(f"Best trial: {best['trial']} val_auc={best['best_val_auc']:.4f}")
     return results

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import asdict, is_dataclass
 from datetime import datetime, timezone
 from typing import Any, Dict, Optional
@@ -38,7 +39,9 @@ def _utcnow() -> str:
 
 
 def build_run_id(prefix: str = "temporal-vit") -> str:
-    return f"{prefix}-{_utcnow()}"
+    # Timestamp + short random suffix: concurrent mesh-slice trials started
+    # in the same second must not collide on their metrics directory.
+    return f"{prefix}-{_utcnow()}-{uuid.uuid4().hex[:4]}"
 
 
 def _metrics_filename() -> str:

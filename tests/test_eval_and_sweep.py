@@ -71,7 +71,9 @@ def test_run_sweep_picks_best(trained, capsys):
         experiment_name=None, project_id=None, location=None,
         model_size="tiny",
     )
-    results = run_sweep(base, [{"lr": 1e-3}, {"lr": 3e-4}])
+    # Two trials concurrently, one per 4-device mesh slice (BASELINE
+    # config 5: HP sweep data-parallel across the mesh).
+    results = run_sweep(base, [{"lr": 1e-3}, {"lr": 3e-4}], slices=2)
     assert len(results) == 2
     assert all("best_val_auc" in r for r in results)
     assert {r["trial"] for r in results} == {0, 1}
