@@ -95,6 +95,19 @@ def test_attention_maps_shape():
         )
 
 
+def test_bf16_default_config_runs_on_cpu():
+    """The TPU-default bfloat16 compute path must be exercisable everywhere:
+    logits stay float32 and finite, close to the f32 path."""
+    cfg = TINY.replace(compute_dtype="bfloat16")
+    model, variables, x = _init(TINY)
+    model_bf16 = Temporal3DViT(cfg)
+    a = np.asarray(model.apply(variables, x))
+    b = np.asarray(model_bf16.apply(variables, x))
+    assert b.dtype == np.float32
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, atol=0.15)  # bf16 mantissa error
+
+
 def test_remat_matches_no_remat():
     """cfg.remat trades FLOPs for memory without changing values/grads."""
     model, variables, x = _init(TINY)
