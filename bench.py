@@ -78,8 +78,46 @@ def bench_train_throughput(batch: int = 256, steps: int = 30, warmup: int = 5):
     return vols_per_sec
 
 
+def bench_preprocess_throughput(batch: int = 2048, steps: int = 10):
+    """Device throughput of the fused STFT+log+z-norm (production 126/116
+    params, 5000-sample traces). Input mutates between calls so the remote
+    executor can't serve memoized results; reported on stderr only (the
+    stdout contract is one JSON line)."""
+    from neural_vit_tpu.ops.spectrogram import SpectrogramConfig, preprocess_traces
+
+    cfg = SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 5000)), jnp.float32)
+
+    @jax.jit
+    def step(x):
+        spec = preprocess_traces(x, cfg, -4.0, 1.5, normalize=True)
+        # Fold a cheap reduction of the output back into the input so each
+        # iteration's argument differs (defeats result memoization).
+        return x + jnp.mean(spec) * 1e-6, spec
+
+    x, spec = step(x)
+    jax.block_until_ready(spec)
+    for _ in range(3):
+        x, spec = step(x)
+    jax.block_until_ready(spec)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x, spec = step(x)
+    jax.block_until_ready(spec)
+    dt = time.perf_counter() - t0
+    sps = batch * steps / dt
+    log(f"preprocess (device-resident): {sps:,.0f} spectrograms/sec "
+        f"({cfg.nperseg}/{cfg.noverlap}, 5000-sample traces)")
+    return sps
+
+
 def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    try:
+        bench_preprocess_throughput()
+    except Exception as exc:  # diagnostics only — never break the JSON line
+        log(f"preprocess bench failed: {exc}")
     value = bench_train_throughput()
     target = 5000.0
     print(json.dumps({
