@@ -241,3 +241,54 @@ def preprocess_splits(
             batch_size=batch_size, verbose=verbose, backend=backend,
         )
     return stats
+
+
+def main():  # pragma: no cover — CLI entry (reference preprocess_to_gcs main)
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Two-pass spectrogram preprocessing: raw trial parquet → "
+                    "normalized log-spectrogram parquet."
+    )
+    bucket, prefix = "lfp_spec_datasets", "neural/v2"
+    ap.add_argument("--train_input", default=f"gs://{bucket}/{prefix}/train.parquet")
+    ap.add_argument("--val_input", default=f"gs://{bucket}/{prefix}/val.parquet")
+    ap.add_argument("--test_input", default=f"gs://{bucket}/{prefix}/test.parquet")
+    ap.add_argument("--train_output",
+                    default=f"gs://{bucket}/{prefix}/train_preprocessed.parquet")
+    ap.add_argument("--val_output",
+                    default=f"gs://{bucket}/{prefix}/val_preprocessed.parquet")
+    ap.add_argument("--test_output",
+                    default=f"gs://{bucket}/{prefix}/test_preprocessed.parquet")
+    ap.add_argument("--stats_output",
+                    default=f"gs://{bucket}/{prefix}/spectrogram_norm_stats.json")
+    ap.add_argument("--nperseg", type=int, default=126)
+    ap.add_argument("--noverlap", type=int, default=116)
+    ap.add_argument("--fs", type=int, default=1000)
+    ap.add_argument("--freq_max", type=float, default=None)
+    ap.add_argument("--end_time", type=float, default=5.0)
+    ap.add_argument("--baseline_end", type=float, default=2.0)
+    ap.add_argument("--batch_size", type=int, default=2048)
+    ap.add_argument("--no_normalize", action="store_true")
+    ap.add_argument("--drop_trace", action="store_true")
+    ap.add_argument("--backend", default=None,
+                    help="force the fused op onto a backend (e.g. 'cpu')")
+    args = ap.parse_args()
+
+    cfg = SpectrogramConfig(
+        fs=args.fs, nperseg=args.nperseg, noverlap=args.noverlap,
+        freq_max=args.freq_max, end_time=args.end_time,
+        baseline_end=args.baseline_end,
+    )
+    preprocess_splits(
+        args.train_input, args.val_input, args.test_input,
+        args.train_output, args.val_output, args.test_output,
+        cfg=cfg, normalize=not args.no_normalize,
+        stats_output_path=args.stats_output,
+        keep_trace=not args.drop_trace,
+        batch_size=args.batch_size, backend=args.backend,
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
