@@ -16,14 +16,26 @@ from neural_vit_tpu.training.loop import TrainState, make_step_fns
 
 
 def timed(fn, *args, steps=20, warm=3):
-    out = fn(*args)
+    """Time fn with a MUTATING first argument between calls: the remote
+    executor memoizes identical (executable, args) calls, so repeated
+    same-input loops can read ~0.03 ms regardless of the real cost."""
+    def mutate(a):
+        leaves, treedef = jax.tree_util.tree_flatten(a)
+        leaves = [l + jnp.asarray(1e-6, l.dtype) if hasattr(l, "dtype") else l
+                  for l in leaves]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    first, rest = args[0], args[1:]
+    out = fn(first, *rest)
     jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
     for _ in range(warm):
-        out = fn(*args)
+        first = mutate(first)
+        out = fn(first, *rest)
     jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    mutated = [mutate(first) for _ in range(steps)]  # pre-built, off the clock
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
+    for m in mutated:
+        out = fn(m, *rest)
     jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
     return (time.perf_counter() - t0) / steps
 
