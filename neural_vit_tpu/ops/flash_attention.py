@@ -57,15 +57,18 @@ def _kv_mask(n_valid: int, n_pad: int, bq: int):
     return jnp.where(col < n_valid, 0.0, _NEG_INF).astype(jnp.float32)
 
 
-def _hash_bits(shape, seed):
-    """Counter-based uint32 bits (murmur3-style finalizer over row/col iota).
+def _hash_bits(shape, seed, row0):
+    """Counter-based uint32 bits (murmur3-style finalizer over GLOBAL
+    row/col coordinates).
 
-    A pure function of (seed, element position): the backward kernel
-    regenerates the exact forward mask with no stored state, and the same
-    code runs under Mosaic on TPU and the Pallas interpreter on CPU (the
-    dedicated TPU PRNG primitive has no CPU lowering).
+    A pure function of (seed, global element position): the backward kernel
+    regenerates the exact forward mask with no stored state **even when it
+    tiles the sequence with a different query-block size** (the VMEM budget
+    differs between fwd and bwd, so `_pick_blocks` may legally disagree).
+    The same code runs under Mosaic on TPU and the Pallas interpreter on CPU
+    (the dedicated TPU PRNG primitive has no CPU lowering).
     """
-    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    r = row0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = (r * jnp.uint32(0x9E3779B1)) ^ (c * jnp.uint32(0x85EBCA6B))
     x = x + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
@@ -77,18 +80,28 @@ def _hash_bits(shape, seed):
     return x
 
 
-def _dropout_keep(shape, rate: float, seed):
-    """Inverted-dropout keep multiplier: 1/(1-p) with prob (1-p), else 0."""
-    bits = _hash_bits(shape, seed)
+def _dropout_keep(shape, rate: float, seed, row0):
+    """Inverted-dropout keep multiplier: 1/(1-p) with prob (1-p), else 0.
+
+    `row0` is the global row offset of this query block; the mask depends
+    only on (seed, global row, col) — never on block geometry.
+    """
+    bits = _hash_bits(shape, seed, row0)
     threshold = jnp.uint32(int(rate * (2 ** 32)))
     keep = bits >= threshold
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
 def _program_seed(seed_ref, j: int, bh_block: int):
+    """Per-(batch·head) seed — deliberately independent of the q-block grid
+    so forward and backward (which may pick different Bq) agree."""
     bh = pl.program_id(0) * bh_block + j
-    qi = pl.program_id(1)
-    return seed_ref[0] + bh * pl.num_programs(1) + qi
+    return seed_ref[0] + bh
+
+
+def _row_offset(bq: int):
+    """Global row index of this program's first query row (uint32)."""
+    return (pl.program_id(1) * bq).astype(jnp.uint32)
 
 
 def _softmax_probs(q, k, scale, mask):
@@ -115,7 +128,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
         p = _softmax_probs(q, k, scale, mask)
         if dropout_rate > 0.0:
             p = p * _dropout_keep(
-                p.shape, dropout_rate, _program_seed(seed_ref, j, bh_block)
+                p.shape, dropout_rate,
+                _program_seed(seed_ref, j, bh_block),
+                _row_offset(q_ref.shape[1]),
             )
         o_ref[j] = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -143,9 +158,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         p = _softmax_probs(q, k, scale, mask)
 
         if dropout_rate > 0.0:
-            # Same per-program seed as forward ⇒ bit-identical mask.
+            # Same (seed, global row, col) hash as forward ⇒ bit-identical
+            # mask even if forward tiled with a different Bq.
             keep = _dropout_keep(
-                p.shape, dropout_rate, _program_seed(seed_ref, j, bh_block)
+                p.shape, dropout_rate,
+                _program_seed(seed_ref, j, bh_block),
+                _row_offset(q_ref.shape[1]),
             )
             p_drop = p * keep
         else:
@@ -207,7 +225,17 @@ def _pick_blocks(
             blocks = 4.0 * dh * bh * (bq * bq_bytes + n_pad * kv_bytes)
             if inter + blocks <= limit:
                 return int(bq), bh
-    return 128, 1
+    # Even (Bq=128, bh=1) exceeds the VMEM budget: this kernel holds full
+    # K/V per (batch, head) in VMEM, which stops scaling at roughly
+    # N ≈ 4-8k (dh=64). Fail with a clear message instead of letting
+    # Mosaic OOM at compile time.
+    raise ValueError(
+        f"flash_attention: sequence too long for the single-pass kernel "
+        f"(N_pad={n_pad}, head_dim={dh}): no (Bq, bh) block fits the "
+        f"~{limit // (1024 * 1024)} MB VMEM stack budget. Use the XLA "
+        f"attention path (use_flash_attention=False) or a multi-block "
+        f"online-softmax kernel for sequences this long."
+    )
 
 
 def _specs(bhb: int, bq: int, n_pad: int, dh: int):

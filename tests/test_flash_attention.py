@@ -88,6 +88,37 @@ def test_dropout_differs_across_heads_and_blocks(rng):
     assert not np.allclose(np.asarray(out[:, :, 0]), np.asarray(out[:, :, 1]))
 
 
+def test_dropout_mask_identical_under_different_block_geometry(rng):
+    """Regression: fwd and bwd may legally pick different query-block sizes
+    (their VMEM budgets differ, diverging at N>=1024); the dropout mask must
+    be a pure function of global coordinates so gradients stay consistent.
+
+    With a fixed mask M the output is LINEAR in v: o = (P∘M)ᵀ-free v-map,
+    so sum(o·w) == <∂/∂v, v> exactly. If bwd regenerated a different mask,
+    this identity breaks (measured 1.7e-2 deviation before the fix)."""
+    from neural_vit_tpu.ops.flash_attention import _pick_blocks
+
+    n = 1024
+    bq_f, _ = _pick_blocks(1, n, 64, bwd=False, dropout=True)
+    bq_b, _ = _pick_blocks(1, n, 64, bwd=True, dropout=True)
+    assert bq_f != bq_b, "test needs diverging fwd/bwd block picks"
+
+    q, k, v = _qkv(rng, b=1, n=n, h=1)
+    w = jnp.asarray(np.random.default_rng(7).standard_normal(v.shape), v.dtype)
+    key = jax.random.key(3)
+
+    def f(vv):
+        o = flash_attention(q, k, vv, scale=0.125, dropout_rate=0.3,
+                            dropout_rng=key, interpret=True)
+        return jnp.sum(o * w)
+
+    g = jax.grad(f)(v)
+    np.testing.assert_allclose(
+        float(f(v)), float(jnp.sum(g * v)), rtol=1e-4,
+        err_msg="bwd dropout mask differs from fwd",
+    )
+
+
 def test_dropout_grad_uses_same_mask(rng):
     """Forward and backward must see an identical keep mask: the VJP of a
     fixed-seed dropout attention must match finite differences."""
