@@ -57,6 +57,14 @@ class Temporal3DViTConfig:
     remat: bool = False                # rematerialize blocks in backward
                                        # (trade ~30% FLOPs for O(layers)
                                        # less activation HBM → bigger batch)
+    gelu: str = "erf"                  # "erf" = exact torch parity;
+                                       # "tanh" = standard fast approximation
+                                       # (far fewer VPU ops; the usual ViT
+                                       # training choice, quality-neutral)
+    norm_dtype: str = "float32"        # LayerNorm compute dtype. "bfloat16"
+                                       # keeps the normalized stream in bf16
+                                       # (mean/var still accumulate f32 via
+                                       # XLA reduction semantics)
 
     # ---- derived ----
     @property

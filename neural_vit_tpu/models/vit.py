@@ -38,9 +38,10 @@ from neural_vit_tpu.ops.attention import multi_head_attention
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
-def _gelu(x):
-    # torch nn.GELU() default is the exact erf formulation.
-    return jax.nn.gelu(x, approximate=False)
+def _gelu(x, kind: str = "erf"):
+    # torch nn.GELU() default is the exact erf formulation; "tanh" is the
+    # cheap approximation (config.gelu — a VPU-cost knob, quality-neutral).
+    return jax.nn.gelu(x, approximate=(kind == "tanh"))
 
 
 class DropPath(nn.Module):
@@ -143,7 +144,7 @@ class MLP(nn.Module):
         pdtype = jnp.dtype(cfg.param_dtype)
         x = nn.Dense(hidden, kernel_init=trunc_init, dtype=dtype,
                      param_dtype=pdtype, name="fc1")(x)
-        x = _gelu(x)
+        x = _gelu(x, cfg.gelu)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         x = nn.Dense(d, kernel_init=trunc_init, dtype=dtype,
                      param_dtype=pdtype, name="fc2")(x)
@@ -165,7 +166,7 @@ class TransformerBlock(nn.Module):
         cfg = self.config
         ls = cfg.layer_scale_init
         norm = lambda name: nn.LayerNorm(
-            epsilon=1e-5, dtype=jnp.float32,
+            epsilon=1e-5, dtype=jnp.dtype(cfg.norm_dtype),
             param_dtype=jnp.dtype(cfg.param_dtype), name=name,
         )
         y = norm("norm1")(x).astype(jnp.dtype(cfg.compute_dtype))
@@ -262,14 +263,15 @@ class Temporal3DViT(nn.Module):
             )(x, deterministic, store_attention)
 
         x = nn.LayerNorm(
-            epsilon=1e-5, dtype=jnp.float32, param_dtype=pdtype, name="norm"
+            epsilon=1e-5, dtype=jnp.dtype(cfg.norm_dtype),
+            param_dtype=pdtype, name="norm",
         )(x)
 
         # Classification head on the CLS token (reference `model.py:247-252`).
         clsf = x[:, 0].astype(dtype)
         clsf = nn.Dense(cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
                         param_dtype=pdtype, name="head_fc1")(clsf)
-        clsf = _gelu(clsf)
+        clsf = _gelu(clsf, cfg.gelu)
         clsf = nn.Dropout(cfg.dropout)(clsf, deterministic=deterministic)
         logits = nn.Dense(cfg.n_classes, kernel_init=trunc_init,
                           dtype=jnp.float32, param_dtype=pdtype,
