@@ -203,6 +203,11 @@ class BatchIterator:
         b = self.cfg.batch_size
         return n // b if self.cfg.drop_last else -(-n // b)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch counter (0-based) so a resumed run replays
+        the exact batch order of the uninterrupted run."""
+        self._epoch = epoch
+
     def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array, np.ndarray]]:
         n = len(self.ds)
         order = np.arange(n)

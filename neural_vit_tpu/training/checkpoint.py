@@ -56,6 +56,7 @@ def restore_checkpoint(
     path = f"{_abs(directory).rstrip('/')}/{name}"
     payload = read_json(f"{path}_config.json")
     extra = payload.pop("_extra", {})
+    payload.pop("_loop", None)  # full-state checkpoints restore params too
     config = Temporal3DViTConfig(**payload)
     with ocp.StandardCheckpointer() as ckptr:
         if abstract_params is not None:
@@ -63,3 +64,61 @@ def restore_checkpoint(
         else:
             params = ckptr.restore(path)
     return params, config, extra
+
+
+# ---- full training-state checkpoints (resume-from-preemption) -------------
+#
+# The best/final checkpoints above carry {params, config} — the reference's
+# payload (`train.py:265-275`) and what offline eval needs. Preemption
+# resume needs more: optimizer moments, the step counter (drives the LR
+# schedule and the per-step dropout fold_in), and the loop bookkeeping
+# (epoch, best metrics, patience, seed). `save_train_checkpoint` stores the
+# whole thing; `is_train_checkpoint` lets the loop distinguish a full-state
+# checkpoint (exact resume) from a params-only one (warm start).
+
+
+def _state_tree(state):
+    return {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+
+
+def save_train_checkpoint(
+    directory: str,
+    name: str,
+    state,
+    model_config: Temporal3DViTConfig,
+    loop_state: dict,
+) -> str:
+    """Save the full TrainState + loop bookkeeping under `<directory>/<name>`."""
+    path = f"{_abs(directory).rstrip('/')}/{name}"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(_state_tree(state)), force=True)
+    payload = dataclasses.asdict(model_config)
+    payload["_loop"] = loop_state
+    write_json(f"{path}_config.json", payload)
+    return path
+
+
+def is_train_checkpoint(path: str) -> bool:
+    """True if `<path>` was written by save_train_checkpoint."""
+    try:
+        return "_loop" in read_json(f"{_abs(path)}_config.json")
+    except Exception:
+        return False
+
+
+def restore_train_checkpoint(
+    directory: str,
+    name: str,
+    abstract_state,
+) -> Tuple[dict, Temporal3DViTConfig, dict]:
+    """Restore ({params, opt_state, step}, model_config, loop_state)."""
+    path = f"{_abs(directory).rstrip('/')}/{name}"
+    payload = read_json(f"{path}_config.json")
+    loop_state = payload.pop("_loop")
+    payload.pop("_extra", None)
+    config = Temporal3DViTConfig(**payload)
+    abstract = jax.eval_shape(lambda: _state_tree(abstract_state))
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path, abstract)
+    return tree, config, loop_state

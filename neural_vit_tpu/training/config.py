@@ -21,7 +21,6 @@ class TrainConfig:
     train_paths: List[str] = field(default_factory=list)
     val_paths: List[str] = field(default_factory=list)
     test_paths: List[str] = field(default_factory=list)
-    stats_path: Optional[str] = None
     output_dir: Optional[str] = None
     use_preprocessed: bool = True
     spectrogram_column: str = "spectrogram"
@@ -61,10 +60,14 @@ class TrainConfig:
 
     # --- checkpointing ---
     checkpoint_metric: str = "val_acc"  # train.py uses val_acc; hptune val_auc
-    # Resume: "<dir>/<name>" of a saved checkpoint; params are restored
-    # before training (no load path exists in the reference — SURVEY §5 —
-    # but TPU pods preempt, so resume is first-class here).
+    # Resume: "<dir>/<name>" of a saved checkpoint (no load path exists in
+    # the reference — SURVEY §5 — but TPU pods preempt, so resume is
+    # first-class here). A full-state checkpoint ("latest", written every
+    # `latest_checkpoint_every` epochs) resumes EXACTLY: params, optimizer
+    # moments, step counter, epoch, best-metric state, patience, and the
+    # dropout seed. A params-only checkpoint (best/final) warm-starts.
     resume_from: Optional[str] = None
+    latest_checkpoint_every: int = 1  # 0 ⇒ no full-state checkpoints
 
     # --- TPU execution ---
     mesh: MeshSpec = field(default_factory=MeshSpec)
@@ -72,6 +75,8 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     use_flash_attention: bool = True
     remat: bool = False  # rematerialize transformer blocks in backward
+    gelu: str = "erf"            # "tanh" = fast approximation (see model cfg)
+    norm_dtype: str = "float32"  # "bfloat16" = fast LayerNorm compute
     # PRNG for dropout/drop-path streams. 'rbg' lowers to the XLA
     # RngBitGenerator (hardware-accelerated on TPU); the default threefry
     # costs ~25% of a train step generating the big dropout masks.

@@ -46,7 +46,13 @@ from neural_vit_tpu.parallel.mesh import (
     make_mesh,
     param_shardings,
 )
-from neural_vit_tpu.training.checkpoint import save_checkpoint
+from neural_vit_tpu.training.checkpoint import (
+    is_train_checkpoint,
+    restore_checkpoint,
+    restore_train_checkpoint,
+    save_checkpoint,
+    save_train_checkpoint,
+)
 from neural_vit_tpu.training.config import TrainConfig
 from neural_vit_tpu.training.logging import (
     ExperimentLogger,
@@ -83,6 +89,8 @@ def build_model_config(cfg: TrainConfig, freq_size: int, time_size: int) -> Temp
         compute_dtype=cfg.compute_dtype,
         use_flash_attention=cfg.use_flash_attention,
         remat=cfg.remat,
+        gelu=cfg.gelu,
+        norm_dtype=cfg.norm_dtype,
     )
 
 
@@ -144,10 +152,13 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float):
 
 
 def _finalize_epoch(metric_batches, label_batches) -> Dict[str, float]:
-    """One host sync per epoch: reduce accumulated device metrics."""
-    loss_sum = float(sum(float(m["loss_sum"]) for m in metric_batches))
-    correct = float(sum(float(m["correct"]) for m in metric_batches))
-    total = float(sum(float(m["n_valid"]) for m in metric_batches))
+    """One host transfer per epoch: `device_get` fetches every accumulated
+    per-batch metric (scalars and prob vectors) in a single D2H trip, then
+    reduction happens in numpy."""
+    metric_batches = jax.device_get(metric_batches)
+    loss_sum = float(sum(m["loss_sum"] for m in metric_batches))
+    correct = float(sum(m["correct"] for m in metric_batches))
+    total = float(sum(m["n_valid"] for m in metric_batches))
     probs, labels = [], []
     for m, (lab, mask) in zip(metric_batches, label_batches):
         p = np.asarray(m["probs"])
@@ -180,8 +191,15 @@ def evaluate(
     return _finalize_epoch(metric_batches, label_batches)
 
 
-def train(cfg: TrainConfig) -> Dict:
+def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     """Full training run (reference `train`, training/train.py:108-305).
+
+    Args:
+        cfg: training configuration.
+        epoch_callback: optional `(epoch, metrics_dict) -> None` hook invoked
+            after every epoch's validation (metrics keys: loss/acc/auc and
+            val_loss/val_acc/val_auc) — the HP-tune entry reports the tuner
+            metric from here each epoch.
 
     Returns a results dict with final/best metrics and checkpoint locations.
     """
@@ -234,28 +252,62 @@ def train(cfg: TrainConfig) -> Dict:
     )
 
     init_rng = jax.random.key(cfg.seed)
-    dropout_rng = jax.random.key(cfg.seed + 1, impl=cfg.prng_impl)
     sample = jnp.zeros((1, cfg.n_trials, freq_size, time_size), jnp.float32)
     variables = model.init(init_rng, sample)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
     print(f"Model parameters: {n_params:,}")
 
-    params = variables["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+
+    # ---- resume ----
+    # Full-state checkpoint ("latest") ⇒ EXACT resume: optimizer moments,
+    # step counter (LR schedule + per-step dropout fold_in), epoch, best
+    # metrics, patience counter, and the dropout seed all continue.
+    # Params-only checkpoint (best/final) ⇒ warm start, as before.
+    start_epoch = 1
+    dropout_seed = cfg.seed + 1
+    best = {"val_acc": 0.0, "val_auc": 0.0}
+    epochs_without_improvement = 0
     if cfg.resume_from:
-        from neural_vit_tpu.training.checkpoint import restore_checkpoint
-
         directory, _, name = cfg.resume_from.rpartition("/")
-        params, restored_cfg, extra = restore_checkpoint(
-            directory, name, abstract_params=jax.eval_shape(lambda: params)
-        )
-        if restored_cfg != model_config:
-            raise ValueError(
-                "Checkpoint model config does not match the configured model: "
-                f"{restored_cfg} vs {model_config}"
+        if is_train_checkpoint(cfg.resume_from):
+            tree, restored_cfg, loop_state = restore_train_checkpoint(
+                directory, name, state
             )
-        print(f"Resumed params from {cfg.resume_from} (extra: {extra})")
+            if restored_cfg != model_config:
+                raise ValueError(
+                    "Checkpoint model config does not match the configured "
+                    f"model: {restored_cfg} vs {model_config}"
+                )
+            state = state.replace(
+                params=tree["params"], opt_state=tree["opt_state"],
+                step=int(tree["step"]),
+            )
+            start_epoch = int(loop_state["epoch"]) + 1
+            dropout_seed = int(loop_state["dropout_seed"])
+            best = {"val_acc": float(loop_state["best_val_acc"]),
+                    "val_auc": float(loop_state["best_val_auc"])}
+            epochs_without_improvement = int(
+                loop_state["epochs_without_improvement"]
+            )
+            print(f"Resumed full train state from {cfg.resume_from} "
+                  f"(continuing at epoch {start_epoch})")
+        else:
+            params, restored_cfg, extra = restore_checkpoint(
+                directory, name,
+                abstract_params=jax.eval_shape(lambda: state.params),
+            )
+            if restored_cfg != model_config:
+                raise ValueError(
+                    "Checkpoint model config does not match the configured "
+                    f"model: {restored_cfg} vs {model_config}"
+                )
+            state = state.replace(params=params)
+            print(f"Warm-started params from {cfg.resume_from} (extra: {extra})")
 
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    dropout_rng = jax.random.key(dropout_seed, impl=cfg.prng_impl)
     # Place the whole state on the mesh: TP rules where they match
     # (params and the mirrored AdamW mu/nu trees), replicated elsewhere.
     state = jax.device_put(state, param_shardings(state, mesh))
@@ -292,14 +344,13 @@ def train(cfg: TrainConfig) -> Dict:
         }
     )
 
-    best = {"val_acc": 0.0, "val_auc": 0.0}
     best_ckpt = None
-    epochs_without_improvement = 0
-    epochs_trained = 0
+    epochs_trained = start_epoch - 1
     history = []
     results: Dict = {}
+    train_it.set_epoch(start_epoch - 1)  # replay the exact shuffle sequence
     try:
-        for epoch in range(1, cfg.epochs + 1):
+        for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
             metric_batches, label_batches = [], []
             for vol, labels, mask in train_it:
@@ -348,6 +399,29 @@ def train(cfg: TrainConfig) -> Dict:
                     )
             else:
                 epochs_without_improvement += 1
+
+            if epoch_callback is not None:
+                # Per-epoch hook (HP-tune reports val_auc to the tuner here
+                # every epoch, reference train_hptune.py:460).
+                epoch_callback(epoch, {**tm, **{f"val_{k}": v
+                                                for k, v in vm.items()}})
+
+            if (
+                checkpoint_dir
+                and cfg.latest_checkpoint_every > 0
+                and epoch % cfg.latest_checkpoint_every == 0
+            ):
+                save_train_checkpoint(
+                    checkpoint_dir, "latest", state, model_config,
+                    loop_state={
+                        "epoch": epoch,
+                        "dropout_seed": dropout_seed,
+                        "best_val_acc": best["val_acc"],
+                        "best_val_auc": best["val_auc"],
+                        "epochs_without_improvement": epochs_without_improvement,
+                    },
+                )
+
             if (
                 cfg.early_stopping_patience > 0
                 and epochs_without_improvement >= cfg.early_stopping_patience

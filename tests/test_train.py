@@ -158,13 +158,50 @@ def test_resume_from_checkpoint(prepared_splits):
     r1 = train(TrainConfig(**base, run_name="seed"))
     ckpt = r1["final_checkpoint"]
     r2 = train(TrainConfig(**base, run_name="resumed", resume_from=ckpt))
-    # Resumed run continues from trained params: first-epoch train loss is
-    # below the cold-start first-epoch loss.
+    # Params-only checkpoint ⇒ warm start: first-epoch train loss is below
+    # the cold-start first-epoch loss.
     assert r2["history"][0]["train/loss"] < r1["history"][0]["train/loss"]
     # Mismatched architecture is rejected.
     with pytest.raises(ValueError, match="config does not match"):
         train(TrainConfig(**{**base, "embed_dim": 128},
                           run_name="bad", resume_from=ckpt))
+
+
+def test_exact_resume_reproduces_uninterrupted_run(prepared_splits):
+    """Preemption resume contract: train 4 epochs straight vs train 2 +
+    resume from the full-state 'latest' checkpoint — epochs 3/4 metrics must
+    be IDENTICAL (optimizer moments, step counter/LR schedule, dropout
+    stream, shuffle order, best/patience state all continue)."""
+    tmp, out = prepared_splits
+    base = dict(
+        train_paths=[out["train"]], val_paths=[out["val"]],
+        test_paths=[out["test"]], output_dir=str(tmp / "runs3"),
+        lr=1e-3, n_trials=4, stride=2, model_size="tiny",
+        embed_dim=64, n_heads=2, n_layers=2,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        # Dropout ON: proves the per-step RNG stream continues exactly.
+        dropout=0.1, attention_dropout=0.0, drop_path=0.1,
+        use_cosine_schedule=True, warmup_epochs=1,
+        loader=DataLoaderConfig(batch_size=16),
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    full = train(TrainConfig(**base, epochs=4, run_name="full"))
+    part = train(TrainConfig(**base, epochs=2, run_name="part"))
+    assert part["history"][-1]["train/loss"] == full["history"][1]["train/loss"]
+    latest = f"{tmp}/runs3/part/checkpoints/latest"
+    resumed = train(TrainConfig(
+        **base, epochs=4, run_name="part-resumed", resume_from=latest,
+    ))
+    assert [h["epoch"] for h in resumed["history"]] == [3, 4]
+    for h_resumed, h_full in zip(resumed["history"], full["history"][2:]):
+        for key in ("train/loss", "train/acc", "train/auc",
+                    "val/loss", "val/acc", "val/auc"):
+            np.testing.assert_allclose(
+                h_resumed[key], h_full[key], rtol=0, atol=0,
+                err_msg=f"epoch {h_full['epoch']} {key} diverged on resume",
+            )
+    assert resumed["best_val_acc"] == full["best_val_acc"]
+    assert resumed["test_auc"] == full["test_auc"]
 
 
 def test_training_rejects_bad_config():
