@@ -135,59 +135,81 @@ def preprocess_parquet(
 
     writer = None
     rows_written = 0
-    ctx = _device_ctx(backend)
-    ctx.__enter__()
-    for idx, batch in enumerate(scanner.to_batches()):
-        df = batch.to_pandas()
-        dense, valid = _batched_traces(df, cfg)
-        df = df[valid].reset_index(drop=True)
-        dense = dense[valid]
-        if dense.shape[0] == 0:
-            continue
-        specs = _device_specs(dense, cfg, normalize_stats, batch_size)
-        # Build the spectrogram column as an explicit list<list<float32>>
-        # arrow array — `tolist()` would go through Python floats and land
-        # as float64, doubling dataset size and IO.
-        n, nf, nt = specs.shape
-        spec_col = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, n * nf + 1, dtype=np.int32) * nt),
-            pa.array(specs.reshape(-1)),
-        )
-        spec_col = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, n + 1, dtype=np.int32) * nf), spec_col
-        )
-        if keep_trace:
-            # Windowed + baseline-corrected trace, as the reference stores.
-            start = int(cfg.start_time * cfg.fs)
-            windowed = dense[:, : dense.shape[1] - start] if start else dense
-            nb = int(cfg.baseline_end * cfg.fs)
-            corrected = windowed - windowed[:, :nb].mean(axis=1, keepdims=True)
-            lt = corrected.shape[1]
-            df = df.drop(columns=["trace"])
-            trace_col = pa.ListArray.from_arrays(
-                pa.array(np.arange(0, n + 1, dtype=np.int32) * lt),
-                pa.array(corrected.reshape(-1)),
-            )
-        else:
-            df = df.drop(columns=["trace"])
-            trace_col = None
-        table = pa.Table.from_pandas(df, preserve_index=False)
-        table = table.append_column("spectrogram", spec_col)
-        if trace_col is not None:
-            table = table.append_column("trace", trace_col)
-        if writer is None:
-            writer = pq.ParquetWriter(
-                strip_scheme(output_path), table.schema,
-                filesystem=filesystem_for(output_path),
-            )
-        else:
-            table = table.cast(writer.schema)
-        writer.write_table(table)
-        rows_written += len(df)
-        if verbose:
-            print(f"Processed batch {idx + 1}, rows written: {rows_written}")
-
-    ctx.__exit__(None, None, None)
+    try:
+        with _device_ctx(backend):
+            for idx, batch in enumerate(scanner.to_batches()):
+                df = batch.to_pandas()
+                dense, valid = _batched_traces(df, cfg)
+                df = df[valid].reset_index(drop=True)
+                dense = dense[valid]
+                if dense.shape[0] == 0:
+                    continue
+                specs = _device_specs(dense, cfg, normalize_stats, batch_size)
+                # Build the spectrogram column as an explicit
+                # list<list<float32>> arrow array — `tolist()` would go
+                # through Python floats and land as float64, doubling dataset
+                # size and IO.
+                n, nf, nt = specs.shape
+                spec_col = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, n * nf + 1, dtype=np.int32) * nt),
+                    pa.array(specs.reshape(-1)),
+                )
+                spec_col = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, n + 1, dtype=np.int32) * nf),
+                    spec_col,
+                )
+                if keep_trace:
+                    # Reference trace-column semantics (_preprocess_frame,
+                    # preprocess_to_gcs.py:44-52): baseline mean over the
+                    # FULL trace's first baseline_end seconds, then window
+                    # [start_time : end_time]. `dense` holds samples from
+                    # t=0, so dense[:, :nb] is the full-trace baseline.
+                    nb = int(cfg.baseline_end * cfg.fs)
+                    corrected = dense - dense[:, :nb].mean(
+                        axis=1, keepdims=True
+                    )
+                    start = int(cfg.start_time * cfg.fs)
+                    windowed = corrected[:, start:] if start else corrected
+                    lt = windowed.shape[1]
+                    df = df.drop(columns=["trace"])
+                    trace_col = pa.ListArray.from_arrays(
+                        pa.array(np.arange(0, n + 1, dtype=np.int32) * lt),
+                        pa.array(windowed.reshape(-1)),
+                    )
+                else:
+                    df = df.drop(columns=["trace"])
+                    trace_col = None
+                table = pa.Table.from_pandas(df, preserve_index=False)
+                table = table.append_column("spectrogram", spec_col)
+                if trace_col is not None:
+                    table = table.append_column("trace", trace_col)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        strip_scheme(output_path), table.schema,
+                        filesystem=filesystem_for(output_path),
+                    )
+                else:
+                    table = table.cast(writer.schema)
+                writer.write_table(table)
+                rows_written += len(df)
+                if verbose:
+                    print(f"Processed batch {idx + 1}, "
+                          f"rows written: {rows_written}")
+    except BaseException:
+        # Close the writer and remove the partial output: a half-written
+        # parquet with a valid footer would silently pass as a dataset.
+        if writer is not None:
+            try:
+                writer.close()
+            except Exception:
+                pass
+            try:
+                filesystem_for(output_path).delete_file(
+                    strip_scheme(output_path)
+                )
+            except Exception:
+                pass
+        raise
     if writer is None:
         raise ValueError("No rows were read from input paths.")
     writer.close()

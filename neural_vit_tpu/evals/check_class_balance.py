@@ -6,6 +6,8 @@ from __future__ import annotations
 import argparse
 from typing import Dict, List
 
+import numpy as np
+
 from neural_vit_tpu.data.parquet_io import open_dataset
 
 
@@ -13,7 +15,7 @@ def class_balance_report(paths: List[str], label_column: str = "condition") -> D
     counts: Dict[str, int] = {}
     dataset = open_dataset(paths)
     for batch in dataset.scanner(columns=[label_column], batch_size=8192).to_batches():
-        for value, n in zip(*__import__("numpy").unique(
+        for value, n in zip(*np.unique(
             batch.column(0).to_numpy(zero_copy_only=False), return_counts=True
         )):
             counts[str(value)] = counts.get(str(value), 0) + int(n)

@@ -70,29 +70,129 @@ def _summarize(records: List[Dict]) -> Dict:
     return {"metrics": summary, "last_step": last_step, "n_records": len(records)}
 
 
-def _load_experiment_params(
-    experiment: str, project: Optional[str], location: Optional[str]
-) -> Dict[str, Dict]:
-    """Vertex Experiments param join; empty on any failure (the reference's
-    defensive multi-API extraction, collect_run_details.py:230-323)."""
-    try:
-        from google.cloud import aiplatform
+# --- defensive Vertex Experiments param join ------------------------------
+# The aiplatform SDK's experiment-run surface has churned across versions
+# (get_experiment_df / ExperimentRun.list / Experiment.list_runs, params as
+# method, property, or raw resource metadata). Like the reference
+# (collect_run_details.py:230-323) we walk a chain of strategies and accept
+# the first one that yields anything, so a collector built against one SDK
+# version keeps working against another.
 
-        aiplatform.init(project=project, location=location, experiment=experiment)
-        df = aiplatform.get_experiment_df(experiment)
-        out = {}
-        for _, row in df.iterrows():
-            run_name = row.get("run_name")
-            params = {
-                k.replace("param.", ""): v
-                for k, v in row.items()
-                if isinstance(k, str) and k.startswith("param.")
-            }
-            if run_name:
-                out[str(run_name)] = params
-        return out
+def _coerce_param_value(v):
+    if isinstance(v, (int, float, bool, str)) or v is None:
+        return v
+    return str(v)
+
+
+def _params_of_run(run_obj) -> Optional[Dict]:
+    """Pull a param dict out of one experiment-run object, whatever its
+    vintage: callable accessor, plain attribute, or raw resource metadata."""
+    for name in ("get_params", "params", "parameters", "hyperparameters"):
+        attr = getattr(run_obj, name, None)
+        if attr is None:
+            continue
+        try:
+            value = attr() if callable(attr) else attr
+        except Exception:
+            continue
+        if isinstance(value, dict) and value:
+            return {str(k): _coerce_param_value(v) for k, v in value.items()}
+    meta = getattr(getattr(run_obj, "_gca_resource", None), "metadata", None)
+    if isinstance(meta, dict):
+        for key in ("parameters", "params", "hyperparameters"):
+            if isinstance(meta.get(key), dict):
+                return {str(k): _coerce_param_value(v)
+                        for k, v in meta[key].items()}
+    return None
+
+
+def _run_name_of(run_obj) -> Optional[str]:
+    for name in ("name", "run_name", "display_name", "resource_name"):
+        value = getattr(run_obj, name, None)
+        if isinstance(value, str) and value:
+            return value.rsplit("/", 1)[-1]
+    return None
+
+
+def _strategy_experiment_df(aiplatform, experiment: str) -> Dict[str, Dict]:
+    df = aiplatform.get_experiment_df(experiment)
+    out = {}
+    for _, row in df.iterrows():
+        run_name = row.get("run_name")
+        params = {
+            k.replace("param.", ""): _coerce_param_value(v)
+            for k, v in row.items()
+            if isinstance(k, str) and k.startswith("param.")
+        }
+        if run_name:
+            out[str(run_name)] = params
+    return out
+
+
+def _strategy_run_list(aiplatform, experiment: str) -> Dict[str, Dict]:
+    lister = aiplatform.ExperimentRun.list
+    runs = None
+    for kwargs in ({"experiment": experiment}, {}):
+        try:
+            runs = list(lister(**kwargs))
+            break
+        except TypeError:
+            continue
+    out = {}
+    for run in runs or []:
+        name, params = _run_name_of(run), _params_of_run(run)
+        if name and params is not None:
+            out[name] = params
+    return out
+
+
+def _strategy_experiment_obj(aiplatform, experiment: str) -> Dict[str, Dict]:
+    exp = aiplatform.Experiment(experiment)
+    runs = None
+    for name in ("list_runs", "get_experiment_runs"):
+        method = getattr(exp, name, None)
+        if method is None:
+            continue
+        try:
+            runs = list(method())
+            break
+        except Exception:
+            continue
+    out = {}
+    for run in runs or []:
+        name, params = _run_name_of(run), _params_of_run(run)
+        if name and params is not None:
+            out[name] = params
+    return out
+
+
+def _load_experiment_params(
+    experiment: str, project: Optional[str], location: Optional[str],
+    aiplatform=None,
+) -> Dict[str, Dict]:
+    """Vertex Experiments param join across SDK versions; {} only when every
+    strategy fails (runs still aggregate, just without joined params).
+
+    `aiplatform` is injectable for tests (the SDK is absent in CI)."""
+    if aiplatform is None:
+        try:
+            from google.cloud import aiplatform
+        except ImportError:
+            return {}
+    try:
+        aiplatform.init(project=project, location=location,
+                        experiment=experiment)
     except Exception:
         return {}
+    for strategy in (_strategy_experiment_df, _strategy_run_list,
+                     _strategy_experiment_obj):
+        try:
+            params = strategy(aiplatform, experiment)
+        except Exception:
+            continue
+        if params:
+            return params
+    return {}
 
 
 def collect_runs(

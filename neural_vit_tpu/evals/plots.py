@@ -136,6 +136,71 @@ def plot_hp_scatter(
     return out
 
 
+def _sweep_auc_stats(run_details: Dict) -> Optional[Dict]:
+    """Per-sweep test-AUC distribution over trials."""
+    aucs = [
+        run["metrics"]["test/auc"]["last"]
+        for run in run_details.get("runs", {}).values()
+        if "test/auc" in run.get("metrics", {})
+    ]
+    if not aucs:
+        return None
+    n = len(aucs)
+    mean = sum(aucs) / n
+    var = sum((a - mean) ** 2 for a in aucs) / max(n - 1, 1)
+    return {
+        "trials": n, "best": max(aucs), "mean": mean,
+        "std": var ** 0.5, "min": min(aucs),
+    }
+
+
+def plot_sweep_comparison(
+    sweeps: List[tuple], output_dir: str
+) -> Optional[str]:
+    """HP-sweep-vs-sweep comparison (the reference notebook's run-1 vs run-2
+    cell, `evals/evals.ipynb` cell 13): per-sweep best/mean/min test AUC as
+    grouped bars, plus a stats line per sweep.
+
+    Args:
+        sweeps: list of (label, run_details_dict) — one entry per sweep's
+            collector output (e.g. hptune run 1 and run 2).
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    labeled = []
+    for label, details in sweeps:
+        stats = _sweep_auc_stats(details)
+        if stats:
+            labeled.append((label, stats))
+    if len(labeled) < 2:
+        return None
+    fig, ax = plt.subplots(figsize=(max(8, 5 * len(labeled)), 5))
+    width = 0.25
+    xs = range(len(labeled))
+    for off, key in ((-width, "best"), (0.0, "mean"), (width, "min")):
+        vals = [s[key] for _, s in labeled]
+        bars = ax.bar([x + off for x in xs], vals, width, label=key)
+        for bar, v in zip(bars, vals):
+            ax.annotate(f"{v:.3f}",
+                        (bar.get_x() + bar.get_width() / 2, bar.get_height()),
+                        xytext=(0, 3), textcoords="offset points",
+                        ha="center", fontsize=8)
+    ax.set_xticks(list(xs))
+    ax.set_xticklabels(
+        [f"{label}\n(n={s['trials']}, σ={s['std']:.3f})"
+         for label, s in labeled],
+        fontsize=9,
+    )
+    ax.set_ylabel("test AUC")
+    ax.set_title("HP sweep comparison")
+    ax.legend()
+    ax.grid(True, alpha=0.3, axis="y")
+    out = os.path.join(output_dir, "sweep_comparison.png")
+    fig.tight_layout()
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
 def summary_table(run_details: Dict, baselines: List[Dict]) -> str:
     lines = [f"{'run':40s} {'test_acc':>9s} {'test_auc':>9s}"]
     for run_id, run in run_details.get("runs", {}).items():
@@ -158,6 +223,10 @@ def main(argv=None):  # pragma: no cover
     ap.add_argument("--baselines", default="baseline_results.json")
     ap.add_argument("--output_dir", default="eval_plots")
     ap.add_argument("--hp_params", nargs="*", default=["lr", "dropout"])
+    ap.add_argument(
+        "--compare_sweeps", nargs="*", default=[],
+        help="label=details.json pairs; ≥2 produce the sweep-vs-sweep plot",
+    )
     args = ap.parse_args(argv)
     runs = json.load(open(args.run_details)) if os.path.exists(args.run_details) else {}
     bases = json.load(open(args.baselines)) if os.path.exists(args.baselines) else []
@@ -165,6 +234,13 @@ def main(argv=None):  # pragma: no cover
     plot_vit_vs_baselines(runs, bases, args.output_dir)
     for p in args.hp_params:
         plot_hp_scatter(runs, p, args.output_dir)
+    if args.compare_sweeps:
+        sweeps = []
+        for spec in args.compare_sweeps:
+            label, path = spec.split("=", 1)
+            if os.path.exists(path):
+                sweeps.append((label, json.load(open(path))))
+        plot_sweep_comparison(sweeps, args.output_dir)
     print(summary_table(runs, bases))
 
 

@@ -18,16 +18,27 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "trace_parser.cpp")
-_LIB = os.path.join(_DIR, "libtraceparse.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
-def _build() -> bool:
+def _lib_path() -> str:
+    """Cache path keyed on a content hash of the C++ source: always built
+    from the checked-in source (no binary lives in version control), and a
+    source edit can never silently dlopen a stale artifact — the hash
+    changes, so a fresh build happens."""
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"libtraceparse-{digest}.so")
+
+
+def _build(lib_path: str) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path, _SRC],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -40,15 +51,16 @@ def load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_LIB) or (
-        os.path.exists(_SRC)
-        and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-    ):
-        if not _build():
-            _load_failed = True
-            return None
     try:
-        lib = ctypes.CDLL(_LIB)
+        lib_path = _lib_path()
+    except OSError:
+        _load_failed = True
+        return None
+    if not os.path.exists(lib_path) and not _build(lib_path):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
         lib.parse_trace_column.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_long,

@@ -145,10 +145,13 @@ def train_with_hptune(
         print(f"  {k}: {getattr(args, k)}")
     print("=" * 60)
 
-    results = train(cfg)
-    # Report best val AUC and final test AUC to the tuner.
-    report_metric(hpt, "val_auc", results["best_val_auc"],
-                  results["epochs_trained"])
+    def on_epoch(epoch: int, metrics: Dict) -> None:
+        # Per-epoch val_auc report (reference train_hptune.py:460) — this is
+        # what lets the Vertex Bayesian search early-terminate bad trials.
+        report_metric(hpt, "val_auc", metrics["val_auc"], epoch)
+
+    results = train(cfg, epoch_callback=on_epoch)
+    # Final test AUC report (reference train_hptune.py:504).
     report_metric(hpt, "test_auc", results["test_auc"], cfg.epochs + 1)
     print(f"Training complete. Best val AUC: {results['best_val_auc']:.4f}")
     return results

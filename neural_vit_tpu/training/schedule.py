@@ -4,8 +4,9 @@ The reference steps its LambdaLR once per epoch
 (`train_hptune.py:192-223,487`): linear warmup over `warmup_epochs` (scale
 (e+1)/warmup), then cosine decay from 1 to min_lr/base_lr. We reproduce the
 exact epoch-staircase (not a smooth per-step curve) so training dynamics
-match; warmup_epochs=0 degenerates to a constant lr (plain `train.py`
-parity).
+match. warmup_epochs=0 means cosine-only from epoch 0, exactly like the
+reference's lr_lambda; the plain `train.py` constant-lr behavior is reached
+via `TrainConfig.use_cosine_schedule=False` → `constant_schedule`.
 """
 
 from __future__ import annotations

@@ -127,6 +127,72 @@ def test_collect_runs_jsonl(tmp_path):
     assert run["metrics"]["test/auc"]["last"] == pytest.approx(0.81)
 
 
+def test_param_join_falls_through_sdk_apis():
+    """The Vertex param join must survive SDK-surface churn: when the modern
+    get_experiment_df API is missing/broken, it falls back to
+    ExperimentRun.list, then Experiment().list_runs, extracting params from
+    accessor methods, attributes, or raw resource metadata
+    (reference collect_run_details.py:230-323)."""
+    import types
+
+    from neural_vit_tpu.evals.collect_runs import _load_experiment_params
+
+    class RunWithMethod:
+        name = "projects/p/runs/run-a"
+
+        def get_params(self):
+            return {"lr": 0.001, "dropout": 0.2}
+
+    class RunWithResource:
+        display_name = "run-b"
+        _gca_resource = types.SimpleNamespace(
+            metadata={"parameters": {"lr": 0.0003}}
+        )
+
+    def broken_df(experiment):
+        raise AttributeError("get_experiment_df removed in this SDK")
+
+    # Strategy 2: ExperimentRun.list (new-style kwarg, then bare call).
+    fake = types.SimpleNamespace(
+        init=lambda **kw: None,
+        get_experiment_df=broken_df,
+        ExperimentRun=types.SimpleNamespace(
+            list=lambda **kw: [RunWithMethod(), RunWithResource()]
+        ),
+    )
+    params = _load_experiment_params("exp", "proj", "loc", aiplatform=fake)
+    assert params == {
+        "run-a": {"lr": 0.001, "dropout": 0.2},
+        "run-b": {"lr": 0.0003},
+    }
+
+    # Strategy 3: Experiment object with list_runs, when ExperimentRun.list
+    # also raises.
+    def broken_list(**kw):
+        raise RuntimeError("permission denied")
+
+    class FakeExperiment:
+        def __init__(self, name):
+            pass
+
+        def list_runs(self):
+            return [RunWithMethod()]
+
+    fake3 = types.SimpleNamespace(
+        init=lambda **kw: None,
+        get_experiment_df=broken_df,
+        ExperimentRun=types.SimpleNamespace(list=broken_list),
+        Experiment=FakeExperiment,
+    )
+    params = _load_experiment_params("exp", None, None, aiplatform=fake3)
+    assert params == {"run-a": {"lr": 0.001, "dropout": 0.2}}
+
+    # Everything broken ⇒ {} (collection still proceeds without params).
+    fake_none = types.SimpleNamespace(init=lambda **kw: None)
+    assert _load_experiment_params("exp", None, None,
+                                   aiplatform=fake_none) == {}
+
+
 def test_audit_report(splits, capsys):
     _, _, df = splits
     report = audit_lfp_dataset(df, expected_seconds=5.0)

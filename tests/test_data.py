@@ -238,6 +238,28 @@ def test_pipeline_spectrogram_matches_scipy_row(pipeline_dirs):
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
 
 
+def test_keep_trace_start_time_window(pipeline_dirs, tmp_path):
+    """Stored trace column with start_time > 0 must match the reference's
+    `_preprocess_frame` (preprocess_to_gcs.py:44-52): baseline mean over the
+    FULL trace's first `baseline_end` seconds, then crop
+    [start_time*fs : end_time*fs]."""
+    from neural_vit_tpu.data.pipeline import preprocess_parquet
+
+    raw, _, _, _ = pipeline_dirs
+    cfg = SpectrogramConfig(
+        fs=1000, nperseg=126, noverlap=116, start_time=1.0, end_time=5.0,
+    )
+    out = str(tmp_path / "windowed.parquet")
+    preprocess_parquet(raw["val"], out, cfg, batch_size=64, verbose=False)
+    raw_df = pd.read_parquet(raw["val"])
+    pre_df = pd.read_parquet(out)
+    full = np.asarray(raw_df.iloc[0].trace, np.float32)
+    expected = (full - full[:2000].mean())[1000:5000]
+    got = np.asarray(pre_df.iloc[0].trace, np.float32)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
 def test_loaders_verify_gates(pipeline_dirs):
     """The reference's verify_dataloaders checks as asserts
     (`local_tests/test_pipeline.py:110-202`): loaders non-empty, 4-D float

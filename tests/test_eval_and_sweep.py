@@ -60,6 +60,54 @@ def test_evaluate_checkpoint_matches_train_eval(trained):
     assert metrics["auc"] == pytest.approx(results["test_auc"], abs=1e-6)
 
 
+class _FakeHyperTune:
+    """Records report_hyperparameter_tuning_metric calls (stands in for
+    cloudml-hypertune, absent in this image)."""
+
+    def __init__(self):
+        self.reports = []
+
+    def report_hyperparameter_tuning_metric(
+        self, hyperparameter_metric_tag, metric_value, global_step
+    ):
+        self.reports.append(
+            (hyperparameter_metric_tag, float(metric_value), int(global_step))
+        )
+
+
+def test_hptune_reports_val_auc_every_epoch(trained, monkeypatch):
+    """The tuner metric must be reported per epoch (reference
+    train_hptune.py:460 — Vertex trial early-termination depends on the
+    intermediate reports), plus one final test_auc report (:504)."""
+    import types
+
+    import neural_vit_tpu.training.hptune as hptune_mod
+
+    recorder = _FakeHyperTune()
+    fake_module = types.SimpleNamespace(HyperTune=lambda: recorder)
+    monkeypatch.setattr(hptune_mod, "hypertune", fake_module)
+
+    tmp, out, _ = trained
+    epochs = 2
+    args = argparse.Namespace(
+        lr=1e-3, dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        weight_decay=0.01, label_smoothing=0.05, epochs=epochs, batch_size=16,
+        n_trials=4, stride=2, early_stopping_patience=0, warmup_epochs=1,
+        min_lr=1e-6, output_dir=str(tmp / "hptune_epochs"),
+        train_path=out["train"], val_path=out["val"], test_path=out["test"],
+        experiment_name=None, project_id=None, location=None,
+        model_size="tiny",
+    )
+    results = hptune_mod.train_with_hptune(args)
+
+    val_reports = [r for r in recorder.reports if r[0] == "val_auc"]
+    test_reports = [r for r in recorder.reports if r[0] == "test_auc"]
+    assert [step for _, _, step in val_reports] == list(range(1, epochs + 1))
+    assert len(test_reports) == 1
+    assert test_reports[0][1] == pytest.approx(results["test_auc"])
+    assert test_reports[0][2] == epochs + 1
+
+
 def test_run_sweep_picks_best(trained, capsys):
     tmp, out, _ = trained
     base = argparse.Namespace(

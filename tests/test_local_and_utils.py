@@ -94,6 +94,23 @@ def test_plots_from_collected(tmp_path):
     table = summary_table(details, baselines)
     assert "log_reg" in table and "temporal-vit-9" in table
 
+    # Sweep-vs-sweep comparison (reference evals.ipynb cell 13): a second
+    # "sweep" with two trials, compared against the first.
+    from neural_vit_tpu.evals.plots import plot_sweep_comparison
+
+    def fake_sweep(aucs):
+        return {"runs": {
+            f"trial-{i}": {"metrics": {"test/auc": {"last": a}}}
+            for i, a in enumerate(aucs)
+        }}
+
+    cmp = plot_sweep_comparison(
+        [("run1", details), ("run2", fake_sweep([0.82, 0.9]))], str(out)
+    )
+    assert cmp and os.path.exists(cmp)
+    # Fewer than two sweeps with data → no plot.
+    assert plot_sweep_comparison([("only", details)], str(out)) is None
+
 
 def test_checkpoint_resume_roundtrip(tmp_path):
     import jax
