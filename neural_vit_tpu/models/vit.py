@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neural_vit_tpu.core.config import Temporal3DViTConfig
-from neural_vit_tpu.ops.attention import multi_head_attention
+from neural_vit_tpu.ops.attention import multi_head_attention_qkv
 
 # Matches torch nn.init.trunc_normal_(std=0.02) closely enough (torch's
 # default truncation at ±2 absolute is ±100σ at this std, i.e. untruncated).
@@ -98,17 +98,18 @@ class Attention(nn.Module):
             3 * d, use_bias=True, kernel_init=trunc_init,
             dtype=dtype, param_dtype=jnp.dtype(cfg.param_dtype), name="qkv",
         )(x)
-        # Heads-last (B, N, H, Dh): q/k/v are plain slices of the projection
-        # output — no transpose copies on the way into the attention kernel.
-        qkv = qkv.reshape(b, n, 3, h, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # The packed (B, N, 3D) projection output goes straight into the
+        # attention core: the flash kernel slices heads internally via lane
+        # offsets, so q/k/v never materialize as separate tensors and no
+        # transpose/pad copies exist between the two projections.
 
         dropout_rng = None
         if cfg.attention_dropout > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
 
-        out, weights = multi_head_attention(
-            q, k, v,
+        out, weights = multi_head_attention_qkv(
+            qkv,
+            n_heads=h,
             scale=dh ** -0.5,
             dropout_rate=cfg.attention_dropout,
             deterministic=deterministic,
@@ -121,7 +122,6 @@ class Attention(nn.Module):
             # get_attention_maps (model.py:345-347).
             self.sow("intermediates", "attention", weights)
 
-        out = out.reshape(b, n, d)  # heads-last: (B, N, H, Dh) → (B, N, D)
         out = nn.Dense(
             d, kernel_init=trunc_init, dtype=dtype,
             param_dtype=jnp.dtype(cfg.param_dtype), name="proj",

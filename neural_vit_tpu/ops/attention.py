@@ -56,6 +56,45 @@ def xla_attention(
     return out, (weights if return_weights else None)
 
 
+def multi_head_attention_qkv(
+    qkv: jax.Array,
+    *,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    use_flash: bool = True,
+    return_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Dispatching attention core over the packed (B, N, 3D) qkv projection.
+
+    The flash path consumes the packed array directly (zero layout ops, see
+    `ops/flash_attention.py`); the XLA path unpacks to heads-last q/k/v.
+
+    Returns (out (B, N, D), weights (B, H, N, N) or None).
+    """
+    b, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    if not (return_weights or not use_flash or not _on_tpu()):
+        from neural_vit_tpu.ops.flash_attention import flash_attention_qkv
+
+        out = flash_attention_qkv(
+            qkv, n_heads=n_heads, scale=scale,
+            dropout_rate=dropout_rate if not deterministic else 0.0,
+            dropout_rng=dropout_rng,
+        )
+        return out, None
+    qkv = qkv.reshape(b, n, 3, n_heads, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    out, weights = xla_attention(
+        q, k, v, scale, dropout_rate, deterministic, dropout_rng,
+        return_weights,
+    )
+    return out.reshape(b, n, d), weights
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,

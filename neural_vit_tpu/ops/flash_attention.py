@@ -1,37 +1,44 @@
-"""Pallas TPU fused attention (flash attention) with custom VJP.
+"""Pallas TPU fused attention over the packed qkv projection, with custom VJP.
 
 Replaces the reference's materialized O(N²) attention
-(`models/model.py:106-119`): per grid step one query block's (Bq × N)
-logits live entirely in VMEM, softmax is taken there, and the result is
-multiplied into V — the full B·H·N² probability tensor never touches HBM in
-either direction. For this model family N is short (513 tokens at default
-dims, ~2k at production spectrogram dims), so K/V for one (batch, head) fit
-comfortably in VMEM and a single-pass row-block softmax beats multi-block
-online softmax.
+(`models/model.py:106-119`). Unlike a conventional flash kernel that takes
+separate (B, H, N, Dh) operands, this kernel consumes the fused qkv Dense
+output directly — one (B, N, 3·H·Dh) array in exactly the layout the matmul
+produces — and returns (B, N, H·Dh), the layout the output projection wants.
+Head handling happens *inside* the kernel via lane slicing. Profiling the
+round-1 kernel showed why this matters: on a v5e, ~95 ms of a 384 ms train
+step was XLA-level layout traffic around the kernel (pad 513→640,
+(B,N,H,Dh)→(B·H,N,Dh) fold/unfold transposes, qkv slice copies). In this
+design none of those ops exist — the only HBM tensors are qkv, out, lse, and
+their gradients, all in matmul-native layouts, at the true sequence length
+(Mosaic handles non-128 trailing dims logically; no zero padding).
 
-Layout: the public API is heads-last (B, N, H, Dh) — q/k/v arrive as
-plain slices of the fused qkv projection. Internally operands fold to
-(B·H, N, Dh) so the kernel's tiled trailing dims are (N, Dh), the shape the
-MXU wants (Mosaic requires the last two block dims whole-or-aligned, which
-rules out per-head blocks of a heads-last array). The fold is one transpose
-copy per operand — ~2% of forward wall-clock at production shapes. MXU
-matmuls run in the input dtype (bf16 on the train path) with f32
-accumulation; softmax math is f32.
+Kernel math per (batch, head), one q-block per grid step:
+    s   = (q·scale) @ kᵀ              (scale folded into q: (bq,Dh) not (bq,N))
+    lse = rowmax(s) + log(rowsum(exp(s - rowmax(s))))     → emitted (B, H, N)
+    p   = exp(s - lse)                 (exact softmax)
+    o   = (p ∘ keep) @ v               (keep: inverted-dropout mask, see below)
+Backward uses the saved (o, lse) pair — the classic flash residuals:
+    delta = rowsum(do ∘ o)             ((bq, Dh) — cheap, replaces a (bq, N)
+                                        reduction via Σₖ pₖ dpₖ = Σ_d do_d o_d)
+    ds    = p ∘ ((do @ vᵀ) ∘ keep - delta)
+    dq    = (ds @ k)·scale    dk = (dsᵀ @ q)·scale    dv = (p∘keep)ᵀ @ do
+Two backward shapes:
+  * fused (n_q == 1, the production path — N = 513 default dims): one kernel
+    per batch computes dq/dk/dv for all heads in one program and writes a
+    single (B, N, 3D) dqkv block — no cross-step accumulation, so gradients
+    are plain bf16 writes and the VJP output is already in qkv layout.
+  * blocked (n_q > 1, long sequences): two embarrassingly-parallel kernels —
+    dq over q-blocks, dk/dv over kv-blocks — each recomputing p from lse.
+    No accumulation across grid steps in either.
 
 Attention-probability dropout (reference `Attention.attn_drop`) runs inside
 the kernel: the keep mask is a counter-based hash of
-(seed, batch, head, q-block, position), regenerated bit-identically in the
-backward kernel — no mask tensor is stored, and the train path stays fused.
-
-Backward follows the standard flash decomposition per query block, with the
-softmax normalizer recomputed rather than stored (the score block is being
-recomputed anyway, so saving lse would only add HBM traffic):
-    P  = softmax(S)              (recomputed, never stored)
-    dV += (P∘M)ᵀ dO
-    dP = (dO Vᵀ)∘M
-    dS = P ∘ (dP - rowsum(dP∘P))
-    dQ = dS K · scale,   dK += dSᵀ Q · scale
-dK/dV accumulate in f32 across the sequential q-block grid steps.
+(seed, batch, head, global row, global col) — a pure function of global
+coordinates, so forward and every backward kernel regenerate it
+bit-identically regardless of block geometry, and no mask tensor ever
+touches HBM. The same code runs under Mosaic on TPU and the Pallas
+interpreter on CPU.
 """
 
 from __future__ import annotations
@@ -51,25 +58,13 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kv_mask(n_valid: int, n_pad: int, bq: int):
-    """(Bq, n_pad) additive mask: 0 for real keys, -inf for padding."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
-    return jnp.where(col < n_valid, 0.0, _NEG_INF).astype(jnp.float32)
-
-
-def _hash_bits(shape, seed, row0):
+def _hash_bits(shape, seed, row0, col0):
     """Counter-based uint32 bits (murmur3-style finalizer over GLOBAL
-    row/col coordinates).
-
-    A pure function of (seed, global element position): the backward kernel
-    regenerates the exact forward mask with no stored state **even when it
-    tiles the sequence with a different query-block size** (the VMEM budget
-    differs between fwd and bwd, so `_pick_blocks` may legally disagree).
-    The same code runs under Mosaic on TPU and the Pallas interpreter on CPU
-    (the dedicated TPU PRNG primitive has no CPU lowering).
-    """
+    row/col coordinates). A pure function of (seed, global position):
+    every kernel regenerates the exact same bits for the same coordinates,
+    whatever block of the (N, N) plane it is looking at."""
     r = row0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    c = col0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = (r * jnp.uint32(0x9E3779B1)) ^ (c * jnp.uint32(0x85EBCA6B))
     x = x + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
     x = x ^ (x >> 16)
@@ -80,264 +75,471 @@ def _hash_bits(shape, seed, row0):
     return x
 
 
-def _dropout_keep(shape, rate: float, seed, row0):
-    """Inverted-dropout keep multiplier: 1/(1-p) with prob (1-p), else 0.
-
-    `row0` is the global row offset of this query block; the mask depends
-    only on (seed, global row, col) — never on block geometry.
-    """
-    bits = _hash_bits(shape, seed, row0)
+def _dropout_keep(shape, rate: float, seed, row0, col0=0):
+    """Inverted-dropout keep multiplier: 1/(1-p) with prob (1-p), else 0."""
+    bits = _hash_bits(shape, seed, row0, col0)
     threshold = jnp.uint32(int(rate * (2 ** 32)))
     keep = bits >= threshold
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _program_seed(seed_ref, j: int, bh_block: int):
-    """Per-(batch·head) seed — deliberately independent of the q-block grid
-    so forward and backward (which may pick different Bq) agree."""
-    bh = pl.program_id(0) * bh_block + j
-    return seed_ref[0] + bh
+def _head_seed(seed_ref, b, h: int, n_heads: int):
+    """Per-(batch, head) seed — independent of any block geometry."""
+    return seed_ref[0] + b * n_heads + h
 
 
-def _row_offset(bq: int):
-    """Global row index of this program's first query row (uint32)."""
-    return (pl.program_id(1) * bq).astype(jnp.uint32)
+def _col_mask(p, n_valid: int, col0):
+    """Zero attention probabilities in zero-padded key columns (only used
+    when the sequence was host-padded; pad keys give s=0 ⇒ p=exp(-lse)≠0)."""
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    return jnp.where(col < n_valid, p, 0.0)
 
 
-def _softmax_probs(q, k, scale, mask):
-    """(Bq, Dh) × (Nk, Dh) → exact softmax probabilities (Bq, Nk) in f32.
-    `mask` is the precomputed additive padding mask (hoisted out of the
-    per-head loop — it is identical for every (batch, head))."""
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    s = s + mask
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+# --------------------------------------------------------------------------
+# forward
+# --------------------------------------------------------------------------
 
-
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
-                scale: float, n_valid: int, dropout_rate: float):
-    bh_block = q_ref.shape[0]
-    mask = _kv_mask(n_valid, k_ref.shape[1], q_ref.shape[1])
-    for j in range(bh_block):  # static unroll amortizes per-program overhead
-        q = q_ref[j]                           # (Bq, Dh)
-        k = k_ref[j]                           # (Nk, Dh)
-        v = v_ref[j]
-        p = _softmax_probs(q, k, scale, mask)
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                scale: float, n_heads: int, dh: int, n_valid: int,
+                padded: bool, dropout_rate: float):
+    b = pl.program_id(0)
+    row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl] * q_ref.dtype.type(scale)   # (bq, dh)
+        k = k_ref[0, :, sl]                             # (nk, dh)
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                               # (bq, nk)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        if padded:
+            p = _col_mask(p, n_valid, 0)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        lse = m + jnp.log(denom)                        # (bq, 1)
+        lse_ref[0, h:h + 1, :] = jnp.transpose(lse)
         if dropout_rate > 0.0:
             p = p * _dropout_keep(
                 p.shape, dropout_rate,
-                _program_seed(seed_ref, j, bh_block),
-                _row_offset(q_ref.shape[1]),
+                _head_seed(seed_ref, b, h, n_heads), row0,
             )
-        o_ref[j] = jax.lax.dot_general(
+        acc = jax.lax.dot_general(                      # (bq, dh)
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        o_ref[0, :, sl] = (acc / denom).astype(o_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *,
-                scale: float, n_valid: int, dropout_rate: float):
-    qi = pl.program_id(1)
-    bh_block = q_ref.shape[0]
+# --------------------------------------------------------------------------
+# fused backward (single q-block: dq, dk, dv in one program, bf16 writes)
+# --------------------------------------------------------------------------
 
-    @pl.when(qi == 0)
-    def _():
-        dk_ref[...] = jnp.zeros_like(dk_ref[...])
-        dv_ref[...] = jnp.zeros_like(dv_ref[...])
-
-    mask = _kv_mask(n_valid, k_ref.shape[1], q_ref.shape[1])
-    for j in range(bh_block):
-        q = q_ref[j]                           # (Bq, Dh)
-        k = k_ref[j]                           # (Nk, Dh)
-        v = v_ref[j]
-        do = do_ref[j]                         # (Bq, Dh)
-        p = _softmax_probs(q, k, scale, mask)
-
-        if dropout_rate > 0.0:
-            # Same (seed, global row, col) hash as forward ⇒ bit-identical
-            # mask even if forward tiled with a different Bq.
-            keep = _dropout_keep(
-                p.shape, dropout_rate,
-                _program_seed(seed_ref, j, bh_block),
-                _row_offset(q_ref.shape[1]),
-            )
-            p_drop = p * keep
-        else:
-            keep = None
-            p_drop = p
-
-        dp_drop = jax.lax.dot_general(         # dO Vᵀ: (Bq, Nk)
+def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                      dqkv_ref, *, scale: float, n_heads: int, dh: int,
+                      n_valid: int, padded: bool, dropout_rate: float):
+    b = pl.program_id(0)
+    d = n_heads * dh
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]                           # (n, dh)
+        o = o_ref[0, :, sl]
+        lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
+        qs = q * q.dtype.type(scale)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)                            # exact softmax probs
+        if padded:
+            p = _col_mask(p, n_valid, 0)
+        dp = jax.lax.dot_general(                       # do @ vᵀ: (n, n)
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = dp_drop * keep if keep is not None else dp_drop
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - delta)                  # (Bq, Nk) f32
-
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)         # (n, 1)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(
+                p.shape, dropout_rate,
+                _head_seed(seed_ref, b, h, n_heads), jnp.uint32(0),
+            )
+            ds = p * (dp * keep - delta)
+            pk = p * keep
+        else:
+            ds = p * (dp - delta)
+            pk = p
         ds_c = ds.astype(q.dtype)
-        dq_ref[j] = (jax.lax.dot_general(
+        dqkv_ref[0, :, sl] = (jax.lax.dot_general(
             ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, d + h * dh:d + (h + 1) * dh] = (jax.lax.dot_general(
+            ds_c, qs, (((0,), (0,)), ((), ())),         # dsᵀ @ (q·scale)
+            preferred_element_type=jnp.float32,
+        )).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * d + h * dh:2 * d + (h + 1) * dh] = (
+            jax.lax.dot_general(
+                pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(dqkv_ref.dtype)
+
+
+# --------------------------------------------------------------------------
+# blocked backward (long sequences): dq over q-blocks, dk/dv over kv-blocks
+# --------------------------------------------------------------------------
+
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                   dq_ref, *, scale: float, n_heads: int, dh: int,
+                   n_valid: int, padded: bool, dropout_rate: float):
+    b = pl.program_id(0)
+    row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qs = q_ref[0, :, sl] * q_ref.dtype.type(scale)  # (bq, dh)
+        k = k_ref[0, :, sl]                             # (nk, dh)
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]                           # (bq, dh)
+        o = o_ref[0, :, sl]
+        lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (bq, 1)
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)
+        if padded:
+            p = _col_mask(p, n_valid, 0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            dp = dp * _dropout_keep(
+                p.shape, dropout_rate,
+                _head_seed(seed_ref, b, h, n_heads), row0,
+            )
+        ds = (p * (dp - delta)).astype(qs.dtype)
+        dq_ref[0, :, sl] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale).astype(dq_ref.dtype)
 
-        dk_part = jax.lax.dot_general(         # dSᵀ Q: (Nk, Dh)
-            ds_c, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dv_part = jax.lax.dot_general(         # P̃ᵀ dO: (Nk, Dh)
-            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                    dk_ref, dv_ref, *, scale: float, n_heads: int, dh: int,
+                    n_valid: int, padded: bool, dropout_rate: float):
+    """One kv-block per program: recompute the (all rows × this block) score
+    stripe from lse and emit this block's dk/dv outright — no accumulation."""
+    b = pl.program_id(0)
+    col0 = (pl.program_id(1) * k_ref.shape[1]).astype(jnp.uint32)
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qs = q_ref[0, :, sl] * q_ref.dtype.type(scale)  # (n, dh) all rows
+        k = k_ref[0, :, sl]                             # (bk, dh) this block
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]                           # (n, dh)
+        o = o_ref[0, :, sl]
+        lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
+        s = jax.lax.dot_general(                        # (n, bk) stripe
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s - lse)
+        if padded:
+            p = _col_mask(p, n_valid, col0)
+        dp = jax.lax.dot_general(                       # (n, bk)
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dk_ref[j] += dk_part
-        dv_ref[j] += dv_part
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)         # (n, 1)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep(
+                p.shape, dropout_rate,
+                _head_seed(seed_ref, b, h, n_heads), jnp.uint32(0), col0,
+            )
+            ds = p * (dp * keep - delta)
+            pk = p * keep
+        else:
+            ds = p * (dp - delta)
+            pk = p
+        dk_ref[0, :, sl] = (jax.lax.dot_general(
+            ds.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),  # dsᵀ @ q·scale
+            preferred_element_type=jnp.float32,
+        )).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = (jax.lax.dot_general(
+            pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),  # p̃ᵀ @ do
+            preferred_element_type=jnp.float32,
+        )).astype(dv_ref.dtype)
 
 
-def _pick_blocks(
-    bh_dim: int, n_pad: int, dh: int, bwd: bool, dropout: bool
-) -> tuple:
-    """Jointly choose (query block Bq, batch·head block) against a total
-    VMEM-stack budget: double-buffered operand blocks plus the live
-    (Bq, Nk) f32 score-block intermediates (softmax probs, dP, dS, mask,
-    keep — the bulk of the backward pass's scratch). Larger Bq wins first
-    (fewer K/V revisits), then larger bh (amortized per-program latency).
-    """
-    # Coefficients calibrated against Mosaic's reported stack sizes on v5e
-    # (four measured configs): score-block intermediates are partially
-    # shared (~0.55× their naive sum) while operand blocks are
-    # multi-buffered (~3.8×). Budget 14 MB of the 16 MB limit.
-    limit = 14 * 1024 * 1024
-    n_inter = (6 if bwd else 3) + (1 if dropout else 0)
-    if bwd:
-        bq_bytes, kv_bytes = (2 + 2 + 2), (2 + 2 + 4 + 4)
-    else:
-        bq_bytes, kv_bytes = (2 + 2), (2 + 2)
-    for bq in range(min(n_pad, 1024), 0, -128):
-        if n_pad % bq != 0:
-            continue
-        inter = 0.6 * n_inter * bq * n_pad * 4
-        for bh in (8, 4, 2, 1):
-            if bh_dim % bh != 0:
+# --------------------------------------------------------------------------
+# block planning
+# --------------------------------------------------------------------------
+
+def _divisors_desc(n: int, cap: int):
+    return [d for d in range(min(n, cap), 0, -1) if n % d == 0]
+
+# VMEM-stack budget (bytes). Mosaic multi-buffers operand/output blocks and
+# shares score-block intermediates; coefficients below were sanity-checked
+# against Mosaic's reported stack sizes on v5e at the production shapes.
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _stack_bytes(bq: int, n: int, d: int, kind: str) -> float:
+    """Rough VMEM stack model: double-buffered operand/output blocks plus
+    live (bq, n) f32 score intermediates (the dominant term)."""
+    lanes = _ceil_to(n, 128)
+    score = bq * lanes * 4.0
+    if kind == "fwd":
+        blocks = 2 * (bq * d + 2 * n * d + bq * d) * 2      # q,k,v,o bf16
+        inter = 2.2 * score
+    elif kind == "fused":
+        blocks = 2 * (4 * n * d + n * d + n * 3 * d) * 2    # q,k,v,o,do,dqkv
+        inter = 3.2 * score
+    elif kind == "dq":
+        blocks = 2 * (3 * bq * d + 2 * n * d + bq * d) * 2
+        inter = 3.0 * score
+    else:  # dkv stripe: (n, bk) intermediates, whole-row operands
+        lanes_bk = _ceil_to(bq, 128)
+        score = n * lanes_bk * 4.0
+        blocks = 2 * (4 * n * d + 2 * bq * d + 2 * bq * d) * 2
+        inter = 3.0 * score
+    return blocks + inter
+
+
+def _plan(n: int, d: int) -> tuple:
+    """Choose (n_proc, bq, bk, fused) — n_proc is the (possibly padded)
+    sequence length the kernels run at; fused=True means the one-program
+    backward applies (single q-block)."""
+    for n_proc in (n, _ceil_to(n, 128)):
+        for bq in _divisors_desc(n_proc, 1024):
+            if _stack_bytes(bq, n_proc, d, "fwd") > _VMEM_BUDGET:
                 continue
-            blocks = 4.0 * dh * bh * (bq * bq_bytes + n_pad * kv_bytes)
-            if inter + blocks <= limit:
-                return int(bq), bh
-    # Even (Bq=128, bh=1) exceeds the VMEM budget: this kernel holds full
-    # K/V per (batch, head) in VMEM, which stops scaling at roughly
-    # N ≈ 4-8k (dh=64). Fail with a clear message instead of letting
-    # Mosaic OOM at compile time.
+            fused = bq == n_proc and (
+                _stack_bytes(n_proc, n_proc, d, "fused") <= _VMEM_BUDGET
+            )
+            if fused:
+                return n_proc, bq, bq, True
+            if _stack_bytes(bq, n_proc, d, "dq") > _VMEM_BUDGET:
+                continue
+            for bk in _divisors_desc(n_proc, 1024):
+                if _stack_bytes(bk, n_proc, d, "dkv") <= _VMEM_BUDGET:
+                    return n_proc, bq, bk, False
     raise ValueError(
-        f"flash_attention: sequence too long for the single-pass kernel "
-        f"(N_pad={n_pad}, head_dim={dh}): no (Bq, bh) block fits the "
-        f"~{limit // (1024 * 1024)} MB VMEM stack budget. Use the XLA "
-        f"attention path (use_flash_attention=False) or a multi-block "
-        f"online-softmax kernel for sequences this long."
+        f"flash_attention: no block plan fits the ~{_VMEM_BUDGET >> 20} MB "
+        f"VMEM stack budget for N={n}, D={d}: this whole-KV kernel stops "
+        f"scaling around N≈8k. Use the XLA attention path "
+        f"(use_flash_attention=False) for longer sequences."
     )
 
 
-def _specs(bhb: int, bq: int, n_pad: int, dh: int):
-    q_spec = pl.BlockSpec((bhb, bq, dh), lambda b, i, *_: (b, i, 0))
-    kv_spec = pl.BlockSpec((bhb, n_pad, dh), lambda b, i, *_: (b, 0, 0))
-    return q_spec, kv_spec
+# --------------------------------------------------------------------------
+# pallas_call drivers
+# --------------------------------------------------------------------------
+
+def _maybe_pad(x, n_proc: int):
+    n = x.shape[1]
+    if n_proc == n:
+        return x
+    return jnp.pad(x, [(0, 0), (0, n_proc - n), (0, 0)])
 
 
-def _flash_call(q, k, v, seed, *, scale, dropout_rate, interpret):
-    """q/k/v: (BH, N, Dh) → out (BH, N, Dh)."""
-    bh_dim, n, dh = q.shape
-    n_pad = _ceil_to(n, 128)
-    bq, bhb = _pick_blocks(bh_dim, n_pad, dh, bwd=False,
-                           dropout=dropout_rate > 0)
-    n_q = n_pad // bq
-    if n_pad != n:
-        pad = [(0, 0), (0, n_pad - n), (0, 0)]
-        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+def _qkv_specs(n_proc: int, bq: int, d: int, q_blocked: bool):
+    """Three views of the single (B, N, 3D) qkv operand: col-block 0/1/2."""
+    if q_blocked:
+        q_spec = pl.BlockSpec((1, bq, d), lambda b, i, *_: (b, i, 0))
+    else:
+        q_spec = pl.BlockSpec((1, n_proc, d), lambda b, i, *_: (b, 0, 0))
+    k_spec = pl.BlockSpec((1, n_proc, d), lambda b, i, *_: (b, 0, 1))
+    v_spec = pl.BlockSpec((1, n_proc, d), lambda b, i, *_: (b, 0, 2))
+    return q_spec, k_spec, v_spec
 
-    grid = (bh_dim // bhb, n_q)
+
+def _flash_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
+    bsz, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_proc, bq, _, _ = _plan(n, d)
+    qkv_p = _maybe_pad(qkv, n_proc)
+    grid = (bsz, n_proc // bq)
+    q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=True)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
+        _fwd_kernel, scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
+        padded=n_proc != n, dropout_rate=dropout_rate,
     )
-    q_spec, kv_spec = _specs(bhb, bq, n_pad, dh)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec],
-            out_specs=q_spec,
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
-        interpret=interpret,
-    )(seed, q, k, v)
-    return out[:, :n]
-
-
-def _flash_bwd_call(q, k, v, do, seed, *, scale, dropout_rate, interpret):
-    bh_dim, n, dh = q.shape
-    n_pad = _ceil_to(n, 128)
-    bq, bhb = _pick_blocks(bh_dim, n_pad, dh, bwd=True,
-                           dropout=dropout_rate > 0)
-    n_q = n_pad // bq
-    if n_pad != n:
-        pad = [(0, 0), (0, n_pad - n), (0, 0)]
-        q, k, v, do = (jnp.pad(a, pad) for a in (q, k, v, do))
-
-    grid = (bh_dim // bhb, n_q)
-    kernel = functools.partial(
-        _bwd_kernel, scale=scale, n_valid=n, dropout_rate=dropout_rate
-    )
-    q_spec, kv_spec = _specs(bhb, bq, n_pad, dh)
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[q_spec, kv_spec, kv_spec, q_spec],
-            out_specs=[q_spec, kv_spec, kv_spec],
+            in_specs=[q_spec, k_spec, v_spec],
+            out_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, n_heads, bq), lambda b, i, *_: (b, 0, i)),
+            ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), q.dtype),
-            # dk/dv accumulate across sequential q-block grid steps → f32.
-            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), jnp.float32),
-            jax.ShapeDtypeStruct((bh_dim, n_pad, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
+            jax.ShapeDtypeStruct((bsz, n_heads, n_proc), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, q, k, v, do)
-    return (
-        dq[:, :n],
-        dk[:, :n].astype(q.dtype),
-        dv[:, :n].astype(q.dtype),
-    )
+    )(seed, qkv_p, qkv_p, qkv_p)
+    if n_proc != n:
+        out = out[:, :n]
+    return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 6))
-def _flash_core(q, k, v, scale, dropout_rate, seed, interpret):
-    return _flash_call(
-        q, k, v, seed, scale=scale, dropout_rate=dropout_rate,
+def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
+               interpret):
+    bsz, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_proc, bq, bk, fused = _plan(n, d)
+    qkv_p = _maybe_pad(qkv, n_proc)
+    out_p = _maybe_pad(out, n_proc)
+    do_p = _maybe_pad(do, n_proc)
+    common = dict(scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
+                  padded=n_proc != n, dropout_rate=dropout_rate)
+
+    if fused:
+        q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=False)
+        row_spec = pl.BlockSpec((1, n_proc, d), lambda b, *_: (b, 0, 0))
+        lse_spec = pl.BlockSpec((1, n_heads, n_proc), lambda b, *_: (b, 0, 0))
+        dqkv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, **common),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bsz, 1),
+                in_specs=[q_spec, k_spec, v_spec, row_spec, lse_spec,
+                          row_spec],
+                out_specs=pl.BlockSpec(
+                    (1, n_proc, 3 * d), lambda b, *_: (b, 0, 0)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n_proc, 3 * d), qkv.dtype),
+            interpret=interpret,
+        )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
+        return dqkv[:, :n] if n_proc != n else dqkv
+
+    # Blocked path: dq over q-blocks, dk/dv over kv-blocks, then one concat.
+    q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=True)
+    qrow = pl.BlockSpec((1, bq, d), lambda b, i, *_: (b, i, 0))
+    full = pl.BlockSpec((1, n_proc, d), lambda b, i, *_: (b, 0, 0))
+    lse_blk = pl.BlockSpec((1, n_heads, bq), lambda b, i, *_: (b, 0, i))
+    lse_full = pl.BlockSpec((1, n_heads, n_proc), lambda b, i, *_: (b, 0, 0))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_proc // bq),
+            in_specs=[q_spec, k_spec, v_spec, qrow, lse_blk, qrow],
+            out_specs=qrow,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
         interpret=interpret,
-    )
+    )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
 
-
-def _flash_core_fwd(q, k, v, scale, dropout_rate, seed, interpret):
-    out = _flash_call(
-        q, k, v, seed, scale=scale, dropout_rate=dropout_rate,
+    qfull = pl.BlockSpec((1, n_proc, d), lambda b, i, *_: (b, 0, 0))
+    kblk = pl.BlockSpec((1, bk, d), lambda b, i, *_: (b, i, 1))
+    vblk = pl.BlockSpec((1, bk, d), lambda b, i, *_: (b, i, 2))
+    kvrow = pl.BlockSpec((1, bk, d), lambda b, i, *_: (b, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_proc // bk),
+            in_specs=[qfull, kblk, vblk, full, lse_full, full],
+            out_specs=[kvrow, kvrow],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
+            jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
+        ],
         interpret=interpret,
-    )
-    return out, (q, k, v, seed)
+    )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv[:, :n] if n_proc != n else dqkv
 
 
-def _flash_core_bwd(scale, dropout_rate, interpret, res, do):
-    q, k, v, seed = res
-    dq, dk, dv = _flash_bwd_call(
-        q, k, v, do, seed, scale=scale, dropout_rate=dropout_rate,
-        interpret=interpret,
+# --------------------------------------------------------------------------
+# custom VJP + public API
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _flash_core(qkv, seed, n_heads, scale, dropout_rate, interpret):
+    out, _ = _flash_fwd(
+        qkv, seed, n_heads=n_heads, scale=scale,
+        dropout_rate=dropout_rate, interpret=interpret,
     )
-    return dq, dk, dv, None
+    return out
+
+
+def _flash_core_fwd(qkv, seed, n_heads, scale, dropout_rate, interpret):
+    out, lse = _flash_fwd(
+        qkv, seed, n_heads=n_heads, scale=scale,
+        dropout_rate=dropout_rate, interpret=interpret,
+    )
+    return out, (qkv, out, lse, seed)
+
+
+def _flash_core_bwd(n_heads, scale, dropout_rate, interpret, res, do):
+    qkv, out, lse, seed = res
+    dqkv = _flash_bwd(
+        qkv, out, lse, do, seed, n_heads=n_heads, scale=scale,
+        dropout_rate=dropout_rate, interpret=interpret,
+    )
+    return dqkv, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _seed_from_rng(dropout_rate: float, dropout_rng) -> jax.Array:
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rate > 0 requires dropout_rng")
+        return jax.random.randint(
+            dropout_rng, (1,), minval=0, maxval=2 ** 31 - 1, dtype=jnp.int32
+        )
+    return jnp.zeros((1,), jnp.int32)
+
+
+def flash_attention_qkv(
+    qkv: jax.Array,
+    *,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention straight off the packed qkv projection.
+
+    Args:
+        qkv: (B, N, 3·D) packed projection output, column order
+            [q_h0…q_hH | k_h0…k_hH | v_h0…v_hH] — i.e. exactly
+            `Dense(3·D)(x)` under the standard (B, N, 3, H, Dh) reshape
+            convention (reference `models/model.py:108`).
+        n_heads: number of attention heads H (D must divide evenly).
+        scale: logit scale (head_dim ** -0.5 in the model).
+        dropout_rate: attention-probability dropout (train only; pass 0.0
+            for eval). Requires dropout_rng when > 0.
+        interpret: run the Pallas interpreter (CPU tests).
+
+    Returns:
+        (B, N, D) attention output — the input layout of the out-projection.
+    """
+    d3 = qkv.shape[-1]
+    if d3 % 3 != 0 or (d3 // 3) % n_heads != 0:
+        raise ValueError(f"qkv last dim {d3} incompatible with 3×{n_heads} heads")
+    seed = _seed_from_rng(dropout_rate, dropout_rng)
+    return _flash_core(
+        qkv, seed, n_heads, scale, float(dropout_rate), interpret
+    )
 
 
 def flash_attention(
@@ -350,28 +552,18 @@ def flash_attention(
     dropout_rng: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused attention over (B, N, H, Dh) heads-last operands.
+    """Compatibility wrapper over separate heads-last (B, N, H, Dh) operands.
 
-    Args:
-        scale: logit scale (head_dim ** -0.5 in the model).
-        dropout_rate: attention-probability dropout (train only; pass 0.0
-            for eval). Requires dropout_rng when > 0.
-        interpret: run the Pallas interpreter (CPU tests).
-
-    Returns:
-        (B, N, H, Dh) attention output.
+    Packs q/k/v into the (B, N, 3D) layout and calls the qkv kernel. The
+    packing concat is real data movement — model code should call
+    `flash_attention_qkv` on the projection output directly; this entry
+    exists for tests and ad-hoc use.
     """
     b, n, h, dh = q.shape
-    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * h, n, dh)
-    if dropout_rate > 0.0:
-        if dropout_rng is None:
-            raise ValueError("dropout_rate > 0 requires dropout_rng")
-        seed = jax.random.randint(
-            dropout_rng, (1,), minval=0, maxval=2 ** 31 - 1, dtype=jnp.int32
-        )
-    else:
-        seed = jnp.zeros((1,), jnp.int32)
-    out = _flash_core(
-        fold(q), fold(k), fold(v), scale, float(dropout_rate), seed, interpret
+    pack = lambda x: x.reshape(b, n, h * dh)
+    qkv = jnp.concatenate([pack(q), pack(k), pack(v)], axis=-1)
+    out = flash_attention_qkv(
+        qkv, n_heads=h, scale=scale, dropout_rate=dropout_rate,
+        dropout_rng=dropout_rng, interpret=interpret,
     )
-    return out.reshape(b, h, n, dh).transpose(0, 2, 1, 3)
+    return out.reshape(b, n, h, dh)

@@ -13,7 +13,6 @@ import neural_vit_tpu.ops.flash_attention as fa
 assert jax.default_backend() == "tpu"
 
 B, H, N, DH, RATE = 1, 2, 513, 64, 0.3
-NPAD = 640
 SCALE = DH ** -0.5
 key = jax.random.key(3)
 seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, jnp.int32)
@@ -25,26 +24,23 @@ v = rng.standard_normal((B, N, H, DH)).astype(np.float32)
 w = rng.standard_normal((B, N, H, DH)).astype(np.float32)
 
 
-def _keep_bf16(shape, rate, s, row0):
-    return fa._dropout_keep(shape, rate, s, row0).astype(jnp.bfloat16)
-
-
 def mask_kernel(seed_ref, o_ref, *, rate):
-    bhb = o_ref.shape[0]
-    for j in range(bhb):
-        o_ref[j] = _keep_bf16((o_ref.shape[1], o_ref.shape[2]), rate,
-                              fa._program_seed(seed_ref, j, bhb),
-                              fa._row_offset(o_ref.shape[1]))
+    # Kernel mask semantics: per-(batch, head) seed, global (row, col) hash.
+    bh = pl.program_id(0)
+    o_ref[0] = fa._dropout_keep(
+        (o_ref.shape[1], o_ref.shape[2]), rate,
+        seed_ref[0] + bh, jnp.uint32(0),
+    ).astype(jnp.bfloat16)
 
 
-spec = pl.BlockSpec((1, 128, NPAD), lambda b, i, *_: (b, i, 0))
+spec = pl.BlockSpec((1, N, N), lambda b, *_: (b, 0, 0))
 M = np.asarray(pl.pallas_call(
     functools.partial(mask_kernel, rate=RATE),
     grid_spec=pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(B * H, NPAD // 128), in_specs=[],
+        num_scalar_prefetch=1, grid=(B * H,), in_specs=[],
         out_specs=spec),
-    out_shape=jax.ShapeDtypeStruct((B * H, NPAD, NPAD), jnp.bfloat16),
-)(seed), np.float64)[:, :N, :N]
+    out_shape=jax.ShapeDtypeStruct((B * H, N, N), jnp.bfloat16),
+)(seed), np.float64)
 
 
 def f(vv):
@@ -56,7 +52,7 @@ def f(vv):
 out_tpu = np.asarray(f(jnp.asarray(v)))
 g_tpu = np.asarray(jax.grad(lambda vv: jnp.sum(f(vv) * w))(jnp.asarray(v)))
 
-# Host f64 reference with the extracted mask. fold order: bh = b*H + h.
+# Host f64 reference with the extracted mask. seed order: bh = b*H + h.
 out_ref = np.zeros_like(out_tpu, np.float64)
 g_ref = np.zeros_like(out_tpu, np.float64)
 for b in range(B):

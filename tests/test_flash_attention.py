@@ -29,6 +29,55 @@ def test_forward_matches_xla(rng, n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_qkv_api_matches_xla(rng):
+    """The packed-projection API: (B, N, 3D) in, (B, N, D) out."""
+    b, n, h, dh = 2, 257, 3, 64
+    q, k, v = _qkv(rng, b=b, n=n, h=h, dh=dh)
+    from neural_vit_tpu.ops.flash_attention import flash_attention_qkv
+
+    qkv = jnp.concatenate(
+        [q.reshape(b, n, -1), k.reshape(b, n, -1), v.reshape(b, n, -1)], -1
+    )
+    out = flash_attention_qkv(qkv, n_heads=h, scale=0.125, interpret=True)
+    ref, _ = xla_attention(q, k, v, 0.125)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref).reshape(b, n, -1),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_blocked_path_matches_xla(rng):
+    """Long-N path: fwd grid over q-blocks, bwd as the dq/dkv kernel pair
+    (no fused single-program backward)."""
+    from neural_vit_tpu.ops.flash_attention import _plan
+
+    n = 1024
+    _, bq, _, fused = _plan(n, 64)
+    assert not fused and bq < n
+    q, k, v = _qkv(rng, b=1, n=n, h=1)
+    scale = 64 ** -0.5
+
+    def loss(fn):
+        def inner(q, k, v):
+            o = fn(q, k, v)
+            return jnp.sum(o * jnp.sin(o))
+        return inner
+
+    ref, _ = xla_attention(q, k, v, scale)
+    out = flash_attention(q, k, v, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(loss(lambda *a: flash_attention(
+        *a, scale=scale, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda *a: xla_attention(*a, scale)[0]),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch (blocked path)",
+        )
+
+
 def test_gradients_match_xla(rng):
     q, k, v = _qkv(rng, b=1, n=200, h=2)
     scale = 64 ** -0.5
@@ -89,19 +138,20 @@ def test_dropout_differs_across_heads_and_blocks(rng):
 
 
 def test_dropout_mask_identical_under_different_block_geometry(rng):
-    """Regression: fwd and bwd may legally pick different query-block sizes
-    (their VMEM budgets differ, diverging at N>=1024); the dropout mask must
-    be a pure function of global coordinates so gradients stay consistent.
+    """Regression: at long N the backward runs as two kv/q-blocked kernels
+    whose tiles cover the (N, N) plane differently from the forward; the
+    dropout mask is a pure function of (seed, global row, global col), so
+    gradients must stay consistent across the geometries.
 
     With a fixed mask M the output is LINEAR in v: o = (P∘M)ᵀ-free v-map,
     so sum(o·w) == <∂/∂v, v> exactly. If bwd regenerated a different mask,
-    this identity breaks (measured 1.7e-2 deviation before the fix)."""
-    from neural_vit_tpu.ops.flash_attention import _pick_blocks
+    this identity breaks (measured 1.7e-2 deviation on the round-1 kernel)."""
+    from neural_vit_tpu.ops.flash_attention import _plan
 
     n = 1024
-    bq_f, _ = _pick_blocks(1, n, 64, bwd=False, dropout=True)
-    bq_b, _ = _pick_blocks(1, n, 64, bwd=True, dropout=True)
-    assert bq_f != bq_b, "test needs diverging fwd/bwd block picks"
+    n_proc, bq, bk, fused = _plan(n, 64)
+    assert not fused, "test needs the blocked backward path"
+    assert bq < n_proc, "test needs multiple q-blocks"
 
     q, k, v = _qkv(rng, b=1, n=n, h=1)
     w = jnp.asarray(np.random.default_rng(7).standard_normal(v.shape), v.dtype)
