@@ -32,6 +32,7 @@ import numpy as np
 
 from neural_vit_tpu.core.config import Temporal3DViTConfig
 from neural_vit_tpu.ops.attention import multi_head_attention_qkv
+from neural_vit_tpu.ops.dropout import dropout as fused_dropout
 
 # Matches torch nn.init.trunc_normal_(std=0.02) closely enough (torch's
 # default truncation at ±2 absolute is ±100σ at this std, i.e. untruncated).
@@ -42,6 +43,22 @@ def _gelu(x, kind: str = "erf"):
     # torch nn.GELU() default is the exact erf formulation; "tanh" is the
     # cheap approximation (config.gelu — a VPU-cost knob, quality-neutral).
     return jax.nn.gelu(x, approximate=(kind == "tanh"))
+
+
+class Dropout(nn.Module):
+    """Inverted dropout via the bandwidth-lean 8-bit path (`ops/dropout.py`)
+    — same expectation semantics as `nn.Dropout` with a quarter of the RNG
+    traffic and no stored backward mask."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        return fused_dropout(
+            x, self.rate, rng=self.make_rng("dropout"), deterministic=False
+        )
 
 
 class DropPath(nn.Module):
@@ -126,7 +143,7 @@ class Attention(nn.Module):
             d, kernel_init=trunc_init, dtype=dtype,
             param_dtype=jnp.dtype(cfg.param_dtype), name="proj",
         )(out)
-        out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+        out = Dropout(cfg.dropout)(out, deterministic)
         return out
 
 
@@ -145,10 +162,10 @@ class MLP(nn.Module):
         x = nn.Dense(hidden, kernel_init=trunc_init, dtype=dtype,
                      param_dtype=pdtype, name="fc1")(x)
         x = _gelu(x, cfg.gelu)
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = Dropout(cfg.dropout)(x, deterministic)
         x = nn.Dense(d, kernel_init=trunc_init, dtype=dtype,
                      param_dtype=pdtype, name="fc2")(x)
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = Dropout(cfg.dropout)(x, deterministic)
         return x
 
 
@@ -248,7 +265,7 @@ class Temporal3DViT(nn.Module):
             [jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.embed_dim)), x],
             axis=1,
         )
-        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        x = Dropout(cfg.dropout)(x, deterministic)
 
         # Linear stochastic-depth decay (reference `model.py:227`).
         dpr = np.linspace(0.0, cfg.drop_path, cfg.n_layers)
@@ -272,7 +289,7 @@ class Temporal3DViT(nn.Module):
         clsf = nn.Dense(cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
                         param_dtype=pdtype, name="head_fc1")(clsf)
         clsf = _gelu(clsf, cfg.gelu)
-        clsf = nn.Dropout(cfg.dropout)(clsf, deterministic=deterministic)
+        clsf = Dropout(cfg.dropout)(clsf, deterministic)
         logits = nn.Dense(cfg.n_classes, kernel_init=trunc_init,
                           dtype=jnp.float32, param_dtype=pdtype,
                           name="head_fc2")(clsf)
