@@ -34,13 +34,34 @@ REQUIRED_COLUMNS = ("session", "condition", "trial_num")
 @dataclass
 class DataLoaderConfig:
     """Loader knobs (reference `data_loader.py:12-20`; worker/pinning fields
-    are obsolete on TPU — batches are device-resident or one gather away)."""
+    are obsolete on TPU — batches are device-resident or one gather away).
+
+    streaming=True swaps the load-everything dataset for
+    `StreamingSpectrogramDataset`: a bounded LRU cache of decoded parquet
+    row-chunks (≤ max_cached_rows rows in host RAM, nothing replicated to
+    HBM) plus a one-batch-ahead host prefetch thread. Shuffling semantics
+    are IDENTICAL to the in-memory loader (same seeded global permutation of
+    the sequence index), so the two modes produce bit-identical batch
+    streams."""
 
     batch_size: int = 16
     drop_last: bool = False
     shuffle_train: bool = True
     seed: int = 0
     device_resident: bool = True
+    streaming: bool = False
+    chunk_rows: int = 2048
+    max_cached_rows: int = 16384
+    prefetch: bool = True
+
+
+def _cell_to_array(cell) -> np.ndarray:
+    """One parquet list<list<float>> cell → float32 ndarray."""
+    return np.asarray(
+        cell if not isinstance(cell, np.ndarray) or cell.dtype != object
+        else cell.tolist(),
+        dtype=np.float32,
+    )
 
 
 class SpectrogramDataset:
@@ -82,8 +103,7 @@ class SpectrogramDataset:
 
         shape = None
         for c in cells:
-            arr = np.asarray(c if not isinstance(c, np.ndarray) or c.dtype != object
-                             else c.tolist(), dtype=np.float32)
+            arr = _cell_to_array(c)
             if arr.size:
                 shape = arr.shape
                 break
@@ -92,8 +112,7 @@ class SpectrogramDataset:
         specs = np.zeros((len(cells),) + shape, np.float32)
         valid = np.zeros(len(cells), bool)
         for i, c in enumerate(cells):
-            arr = np.asarray(c if not isinstance(c, np.ndarray) or c.dtype != object
-                             else c.tolist(), dtype=np.float32)
+            arr = _cell_to_array(c)
             if arr.shape == shape:
                 specs[i] = arr
                 valid[i] = True
@@ -138,6 +157,10 @@ class SpectrogramDataset:
         """(K, F, T) volume + label — torch __getitem__ analogue."""
         return self.specs[self.index.indices[i]], int(self.index.labels[i])
 
+    def gather_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Rows of the dense spectrogram array (any shape of `rows`)."""
+        return self.specs[rows]
+
     # -- device residency ---------------------------------------------------
     def to_device(self, sharding=None) -> jax.Array:
         if self._device_specs is None:
@@ -146,6 +169,136 @@ class SpectrogramDataset:
                 if sharding is not None else jnp.asarray(self.specs)
             )
         return self._device_specs
+
+
+class StreamingSpectrogramDataset:
+    """A split too large for residency: sequence index in RAM, spectrograms
+    decoded on demand from parquet in fixed row-chunks behind a bounded LRU
+    cache (SURVEY hard-part #5 — replaces the reference's load-everything
+    pattern, `data_loader.py:116-118`).
+
+    Construction streams the file once (arrow record batches) to collect
+    the window metadata and per-row validity, retaining no pixel data. At
+    iteration time a batch gathers its rows from the cache; a miss decodes
+    one `chunk_rows`-row chunk via `Dataset.take`. Host RSS is bounded by
+    `max_cached_rows` decoded rows; nothing is replicated into HBM (batches
+    stream through `device_put`, double-buffered by the iterator's prefetch
+    thread)."""
+
+    def __init__(
+        self,
+        paths,
+        *,
+        n_trials: int,
+        stride: int,
+        spectrogram_column: str = "spectrogram",
+        label_map: Optional[Dict[str, int]] = None,
+        chunk_rows: int = 2048,
+        max_cached_rows: int = 16384,
+    ):
+        from collections import OrderedDict
+
+        if not spectrogram_column:
+            raise ValueError(
+                "spectrogram_column must be provided for preprocessed datasets."
+            )
+        self._dataset = open_dataset(paths)
+        if spectrogram_column not in set(self._dataset.schema.names):
+            raise ValueError("Preprocessed parquet is missing the spectrogram column.")
+        self._column = spectrogram_column
+        self._chunk_rows = int(chunk_rows)
+        self._max_cached_rows = max(int(max_cached_rows), self._chunk_rows)
+        self._cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+
+        # One metadata pass: window columns + validity/shape, no retention.
+        import pandas as pd
+
+        frames, valids = [], []
+        shape = None
+        scanner = self._dataset.scanner(
+            columns=[*REQUIRED_COLUMNS, spectrogram_column],
+            batch_size=self._chunk_rows,
+        )
+        for batch in scanner.to_batches():
+            df = batch.to_pandas()
+            cells = df[spectrogram_column].tolist()
+            frames.append(df.drop(columns=[spectrogram_column]))
+            v = np.zeros(len(cells), bool)
+            for i, c in enumerate(cells):
+                arr = _cell_to_array(c)
+                if shape is None and arr.size:
+                    shape = arr.shape
+                v[i] = arr.size > 0 and arr.shape == shape
+            valids.append(v)
+        if shape is None:
+            raise ValueError("All spectrograms are empty.")
+        self._shape = shape
+        meta = pd.concat(frames).reset_index(drop=True)
+        valid = np.concatenate(valids)
+        self._n_rows = len(meta)
+        self.index = build_sequence_index(
+            meta, n_trials=n_trials, stride=stride,
+            label_map=label_map, valid_rows=valid,
+        )
+
+    # -- introspection (same surface as SpectrogramDataset) -----------------
+    def __len__(self) -> int:
+        return len(self.index)
+
+    @property
+    def freq_size(self) -> int:
+        return self._shape[0]
+
+    @property
+    def time_size(self) -> int:
+        return self._shape[1]
+
+    @property
+    def n_trials(self) -> int:
+        return self.index.indices.shape[1]
+
+    @property
+    def labels(self) -> np.ndarray:
+        return self.index.labels
+
+    def sequence(self, i: int) -> Tuple[np.ndarray, int]:
+        return (
+            self.gather_rows(self.index.indices[i]),
+            int(self.index.labels[i]),
+        )
+
+    # -- chunk cache ---------------------------------------------------------
+    def _chunk(self, cid: int) -> np.ndarray:
+        cached = self._cache.get(cid)
+        if cached is not None:
+            self._cache.move_to_end(cid)
+            return cached
+        lo = cid * self._chunk_rows
+        hi = min(lo + self._chunk_rows, self._n_rows)
+        table = self._dataset.take(
+            np.arange(lo, hi), columns=[self._column]
+        )
+        cells = table.column(0).to_pylist()
+        dense = np.zeros((hi - lo,) + self._shape, np.float32)
+        for i, c in enumerate(cells):
+            arr = _cell_to_array(c)
+            if arr.shape == self._shape:
+                dense[i] = arr
+        self._cache[cid] = dense
+        while len(self._cache) * self._chunk_rows > self._max_cached_rows:
+            self._cache.popitem(last=False)
+        return dense
+
+    def gather_rows(self, rows: np.ndarray) -> np.ndarray:
+        rows = np.asarray(rows)
+        flat = rows.reshape(-1)
+        out = np.empty((flat.size,) + self._shape, np.float32)
+        cids = flat // self._chunk_rows
+        for cid in np.unique(cids):
+            sel = cids == cid
+            chunk = self._chunk(int(cid))
+            out[sel] = chunk[flat[sel] - int(cid) * self._chunk_rows]
+        return out.reshape(rows.shape + self._shape)
 
 
 def _pad_batch(idx: np.ndarray, labels: np.ndarray, batch_size: int):
@@ -169,7 +322,7 @@ class BatchIterator:
 
     def __init__(
         self,
-        dataset: SpectrogramDataset,
+        dataset,
         cfg: DataLoaderConfig,
         *,
         shuffle: bool,
@@ -180,7 +333,10 @@ class BatchIterator:
         self.shuffle = shuffle
         self.batch_sharding = batch_sharding
         self._epoch = 0
-        if cfg.device_resident:
+        self._device_resident = (
+            cfg.device_resident and hasattr(dataset, "to_device")
+        )
+        if self._device_resident:
             # Replicate the dense spectrogram array across the mesh once;
             # each batch gather lands already sharded over the data axis.
             # The spec array is a jit ARGUMENT, never a closure capture — a
@@ -208,6 +364,16 @@ class BatchIterator:
         the exact batch order of the uninterrupted run."""
         self._epoch = epoch
 
+    def _host_batch(self, sel: np.ndarray):
+        """Assemble one padded host batch (CPU-side work only — safe to run
+        on the prefetch thread)."""
+        idx = self.ds.index.indices[sel]
+        labels = self.ds.index.labels[sel]
+        idx, labels, mask = _pad_batch(idx, labels, self.cfg.batch_size)
+        if self._device_resident:
+            return idx, labels, mask, None
+        return idx, labels, mask, self.ds.gather_rows(idx)
+
     def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array, np.ndarray]]:
         n = len(self.ds)
         order = np.arange(n)
@@ -217,17 +383,34 @@ class BatchIterator:
         self._epoch += 1
         b = self.cfg.batch_size
         stop = (n // b) * b if self.cfg.drop_last else n
-        for start in range(0, stop, b):
-            sel = order[start:start + b]
-            idx = self.ds.index.indices[sel]
-            labels = self.ds.index.labels[sel]
-            idx, labels, mask = _pad_batch(idx, labels, b)
-            if self.cfg.device_resident:
+        starts = list(range(0, stop, b))
+
+        def emit(prepared):
+            idx, labels, mask, host_vol = prepared
+            if self._device_resident:
                 vol = self._gather(jnp.asarray(idx))
             else:
-                vol = self.ds.specs[idx]  # (B, K, F, T) host gather
-                vol = jax.device_put(vol, self.batch_sharding)
-            yield vol, jnp.asarray(labels), mask
+                vol = jax.device_put(host_vol, self.batch_sharding)
+            return vol, jnp.asarray(labels), mask
+
+        if not self.cfg.prefetch or self._device_resident:
+            for start in starts:
+                yield emit(self._host_batch(order[start:start + b]))
+            return
+
+        # Double buffering: the next batch's host gather/decode overlaps the
+        # device step running on the current one.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = None
+            for start in starts:
+                nxt = pool.submit(self._host_batch, order[start:start + b])
+                if fut is not None:
+                    yield emit(fut.result())
+                fut = nxt
+            if fut is not None:
+                yield emit(fut.result())
 
 
 def build_dataloaders(
@@ -248,13 +431,24 @@ def build_dataloaders(
     Returns (train_iter, val_iter, test_iter, (train_ds, val_ds, test_ds)).
     """
     loader_cfg = loader_cfg or DataLoaderConfig()
-    datasets = tuple(
-        SpectrogramDataset.from_parquet(
-            p, n_trials=n_trials, stride=stride,
-            spectrogram_column=spectrogram_column, label_map=label_map,
+    if loader_cfg.streaming:
+        datasets = tuple(
+            StreamingSpectrogramDataset(
+                p, n_trials=n_trials, stride=stride,
+                spectrogram_column=spectrogram_column, label_map=label_map,
+                chunk_rows=loader_cfg.chunk_rows,
+                max_cached_rows=loader_cfg.max_cached_rows,
+            )
+            for p in (train_paths, val_paths, test_paths)
         )
-        for p in (train_paths, val_paths, test_paths)
-    )
+    else:
+        datasets = tuple(
+            SpectrogramDataset.from_parquet(
+                p, n_trials=n_trials, stride=stride,
+                spectrogram_column=spectrogram_column, label_map=label_map,
+            )
+            for p in (train_paths, val_paths, test_paths)
+        )
     train_it = BatchIterator(
         datasets[0], loader_cfg, shuffle=loader_cfg.shuffle_train,
         batch_sharding=batch_sharding,
