@@ -113,10 +113,19 @@ def param_shardings(params, mesh: Mesh):
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
-        return "/".join(
-            getattr(k, "key", getattr(k, "idx", str(k))) if not isinstance(k, str) else k
-            for k in [getattr(e, "key", getattr(e, "idx", str(e))) for e in kp]
-        )
+        """kp entries → '/'-joined names. Every jax key type is covered
+        explicitly (DictKey.key, SequenceKey.idx, GetAttrKey.name,
+        FlattenedIndexKey.key); anything else falls back to str(entry)."""
+        parts = []
+        for e in kp:
+            for attr in ("key", "idx", "name"):
+                v = getattr(e, attr, None)
+                if v is not None:
+                    parts.append(str(v))
+                    break
+            else:
+                parts.append(str(e))
+        return "/".join(parts)
 
     specs = {}
     for kp, leaf in flat:
