@@ -218,6 +218,16 @@ def preprocess_parquet(
     return rows_written
 
 
+def _split_task(kwargs: dict) -> int:
+    """Picklable per-split worker for process-parallel preprocessing.
+
+    Runs in a spawn-context child: the whole jax platform is pinned to CPU
+    before first use — children must never even initialize the TPU client
+    (a second process blocks on the device and can wedge the tunnel)."""
+    jax.config.update("jax_platforms", "cpu")
+    return preprocess_parquet(backend="cpu", **kwargs)
+
+
 def preprocess_splits(
     train_inputs,
     val_inputs,
@@ -232,13 +242,16 @@ def preprocess_splits(
     batch_size: int = 2048,
     verbose: bool = True,
     backend: Optional[str] = None,
+    workers: int = 1,
 ) -> Optional[dict]:
     """Full two-pass pipeline over the three splits
     (reference `preprocess_splits_to_gcs`, `preprocess_to_gcs.py:230-303`).
 
-    Unlike the reference there is no 3-process split parallelism: a single
-    device saturates on this workload, and the TPU is the bottleneck's
-    replacement, not the host.
+    workers > 1 reproduces the reference's 3-process split parallelism
+    (spawn context, `preprocess_to_gcs.py:291-303`) for the CPU backend —
+    useful when the host has cores to spare and the fused op runs on CPU.
+    With a TPU device the emit pass stays sequential in-process (one TPU
+    process at a time); a single device saturates on this workload anyway.
     """
     cfg = cfg or SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
     stats = None
@@ -250,18 +263,31 @@ def preprocess_splits(
             print(f"Stats ready. Mean={stats['mean']:.4f} Std={stats['std']:.4f}")
         if stats_output_path:
             write_json(stats_output_path, stats)
-    for name, inputs, output in (
-        ("train", train_inputs, train_output),
-        ("val", val_inputs, val_output),
-        ("test", test_inputs, test_output),
-    ):
-        if verbose:
-            print(f"Processing {name} split...")
-        preprocess_parquet(
-            inputs, output, cfg,
+    split_jobs = [
+        dict(
+            input_paths=inputs, output_path=output, cfg=cfg,
             normalize_stats=stats, keep_trace=keep_trace,
-            batch_size=batch_size, verbose=verbose, backend=backend,
+            batch_size=batch_size, verbose=verbose,
         )
+        for inputs, output in (
+            (train_inputs, train_output),
+            (val_inputs, val_output),
+            (test_inputs, test_output),
+        )
+    ]
+    if workers > 1 and backend == "cpu":
+        from concurrent.futures import ProcessPoolExecutor
+        from multiprocessing import get_context
+
+        with ProcessPoolExecutor(
+            max_workers=min(workers, 3), mp_context=get_context("spawn")
+        ) as pool:
+            list(pool.map(_split_task, split_jobs))
+    else:
+        for name, job in zip(("train", "val", "test"), split_jobs):
+            if verbose:
+                print(f"Processing {name} split...")
+            preprocess_parquet(backend=backend, **job)
     return stats
 
 
@@ -295,6 +321,9 @@ def main():  # pragma: no cover — CLI entry (reference preprocess_to_gcs main)
     ap.add_argument("--drop_trace", action="store_true")
     ap.add_argument("--backend", default=None,
                     help="force the fused op onto a backend (e.g. 'cpu')")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="process-parallel split emit (cpu backend only; "
+                         "reference preprocess_to_gcs.py:291-303)")
     args = ap.parse_args()
 
     cfg = SpectrogramConfig(
@@ -309,6 +338,7 @@ def main():  # pragma: no cover — CLI entry (reference preprocess_to_gcs main)
         stats_output_path=args.stats_output,
         keep_trace=not args.drop_trace,
         batch_size=args.batch_size, backend=args.backend,
+        workers=args.workers,
     )
 
 

@@ -238,6 +238,71 @@ def test_pipeline_spectrogram_matches_scipy_row(pipeline_dirs):
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
 
 
+def test_process_parallel_preprocess_matches_sequential(pipeline_dirs, tmp_path):
+    """workers=2 (spawn-process split emit, reference
+    preprocess_to_gcs.py:291-303) must write byte-identical spectrogram
+    columns to the sequential path."""
+    import pyarrow.parquet as pq
+
+    raw, out, _, _ = pipeline_dirs
+    par = {n: str(tmp_path / f"{n}_par.parquet") for n in ("train", "val", "test")}
+    preprocess_splits(
+        raw["train"], raw["val"], raw["test"],
+        par["train"], par["val"], par["test"],
+        cfg=SPEC_CFG, stats_output_path=str(tmp_path / "stats.json"),
+        batch_size=64, verbose=False, backend="cpu", workers=2,
+    )
+    for name in ("train", "val", "test"):
+        a = pq.read_table(out[name], columns=["spectrogram"])
+        b = pq.read_table(par[name], columns=["spectrogram"])
+        # allclose, not equals: the CPU conv backend (oneDNN) is not
+        # bitwise-deterministic across processes.
+        av = np.asarray(a.column(0).to_pylist(), dtype=object)
+        bv = np.asarray(b.column(0).to_pylist(), dtype=object)
+        assert len(av) == len(bv)
+        for x, y in zip(av, bv):
+            np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                rtol=1e-4, atol=1e-4,
+            )
+
+
+def test_streaming_loader_matches_in_memory(pipeline_dirs):
+    """The streaming dataset (bounded LRU chunk cache, nothing fully
+    resident) must produce bit-identical batch streams to the in-memory
+    loader — same window index, same seeded shuffle, same padding."""
+    from neural_vit_tpu.data.loader import (
+        BatchIterator,
+        DataLoaderConfig,
+        SpectrogramDataset,
+        StreamingSpectrogramDataset,
+    )
+
+    _, out, _, _ = pipeline_dirs
+    mem = SpectrogramDataset.from_parquet([out["train"]], n_trials=4, stride=2)
+    # Tiny chunk/cache sizes force decode misses and LRU eviction.
+    stream = StreamingSpectrogramDataset(
+        [out["train"]], n_trials=4, stride=2, chunk_rows=8, max_cached_rows=16,
+    )
+    assert len(stream) == len(mem)
+    assert (stream.freq_size, stream.time_size) == (mem.freq_size, mem.time_size)
+    np.testing.assert_array_equal(stream.index.indices, mem.index.indices)
+    np.testing.assert_array_equal(stream.labels, mem.labels)
+
+    cfg_mem = DataLoaderConfig(batch_size=8, device_resident=False,
+                               shuffle_train=True, seed=3)
+    cfg_stream = DataLoaderConfig(batch_size=8, device_resident=False,
+                                  shuffle_train=True, seed=3, streaming=True,
+                                  chunk_rows=8, max_cached_rows=16)
+    it_mem = BatchIterator(mem, cfg_mem, shuffle=True)
+    it_stream = BatchIterator(stream, cfg_stream, shuffle=True)
+    for _ in range(2):  # two epochs: shuffle state advances identically
+        for (v1, l1, m1), (v2, l2, m2) in zip(it_mem, it_stream):
+            np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+            np.testing.assert_array_equal(m1, m2)
+
+
 def test_keep_trace_start_time_window(pipeline_dirs, tmp_path):
     """Stored trace column with start_time > 0 must match the reference's
     `_preprocess_frame` (preprocess_to_gcs.py:44-52): baseline mean over the
