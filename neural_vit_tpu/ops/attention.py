@@ -78,6 +78,15 @@ def multi_head_attention_qkv(
     d = d3 // 3
     dh = d // n_heads
     if not (return_weights or not use_flash or not _on_tpu()):
+        from neural_vit_tpu.ops.flash_attention import (
+            flash_attention_qkv,
+            supported,
+        )
+
+        if not supported(n, d):
+            # No VMEM block plan at this (N, D) — XLA attention below.
+            use_flash = False
+    if not (return_weights or not use_flash or not _on_tpu()):
         from neural_vit_tpu.ops.flash_attention import flash_attention_qkv
 
         out = flash_attention_qkv(

@@ -19,8 +19,14 @@ Kernel math per (batch, head), one q-block per grid step:
     p   = exp(s - lse)                 (exact softmax)
     o   = (p ∘ keep) @ v               (keep: inverted-dropout mask, see below)
 Backward uses the saved (o, lse) pair — the classic flash residuals:
-    delta = rowsum(do ∘ o)             ((bq, Dh) — cheap, replaces a (bq, N)
-                                        reduction via Σₖ pₖ dpₖ = Σ_d do_d o_d)
+    delta = rowsum(do ∘ o)             (Σₖ pₖ dpₖ = Σ_d do_d o_d; in-kernel
+                                        on the fused path, but precomputed
+                                        as ONE XLA einsum → (B, H, N) for
+                                        the blocked path so those kernels
+                                        never load the full (N, D) `o` rows
+                                        — that whole-row operand was what
+                                        pushed the dkv VMEM stack over
+                                        budget at production N = 1953)
     ds    = p ∘ ((do @ vᵀ) ∘ keep - delta)
     dq    = (ds @ k)·scale    dk = (dsᵀ @ q)·scale    dv = (p∘keep)ᵀ @ do
 Two backward shapes:
@@ -136,8 +142,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 # --------------------------------------------------------------------------
 
 def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                      dqkv_ref, *, scale: float, n_heads: int, dh: int,
-                      n_valid: int, padded: bool, dropout_rate: float):
+                      dqkv_ref, *, scale: float, n_heads: int,
+                      dh: int, n_valid: int, padded: bool,
+                      dropout_rate: float):
     b = pl.program_id(0)
     d = n_heads * dh
     for h in range(n_heads):
@@ -192,7 +199,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 # blocked backward (long sequences): dq over q-blocks, dk/dv over kv-blocks
 # --------------------------------------------------------------------------
 
-def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref, do_ref,
                    dq_ref, *, scale: float, n_heads: int, dh: int,
                    n_valid: int, padded: bool, dropout_rate: float):
     b = pl.program_id(0)
@@ -203,7 +210,6 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         k = k_ref[0, :, sl]                             # (nk, dh)
         v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]                           # (bq, dh)
-        o = o_ref[0, :, sl]
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (bq, 1)
         s = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -215,8 +221,7 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                        axis=-1, keepdims=True)
+        delta = jnp.transpose(delta_ref[0, h:h + 1, :])  # (bq, 1)
         if dropout_rate > 0.0:
             dp = dp * _dropout_keep(
                 p.shape, dropout_rate,
@@ -229,9 +234,9 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         ) * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                    dk_ref, dv_ref, *, scale: float, n_heads: int, dh: int,
-                    n_valid: int, padded: bool, dropout_rate: float):
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref,
+                    do_ref, dk_ref, dv_ref, *, scale: float, n_heads: int,
+                    dh: int, n_valid: int, padded: bool, dropout_rate: float):
     """One kv-block per program: recompute the (all rows × this block) score
     stripe from lse and emit this block's dk/dv outright — no accumulation."""
     b = pl.program_id(0)
@@ -242,7 +247,6 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         k = k_ref[0, :, sl]                             # (bk, dh) this block
         v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]                           # (n, dh)
-        o = o_ref[0, :, sl]
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
         s = jax.lax.dot_general(                        # (n, bk) stripe
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -254,8 +258,7 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                        axis=-1, keepdims=True)         # (n, 1)
+        delta = jnp.transpose(delta_ref[0, h:h + 1, :])  # (n, 1)
         if dropout_rate > 0.0:
             keep = _dropout_keep(
                 p.shape, dropout_rate,
@@ -281,7 +284,14 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
 # --------------------------------------------------------------------------
 
 def _divisors_desc(n: int, cap: int):
-    return [d for d in range(min(n, cap), 0, -1) if n % d == 0]
+    """Mosaic-legal block sizes for a length-n dim, biggest first: the full
+    dim itself, else multiples of 128 (the lowering requires the last two
+    block dims be ×8/×128 or full — lse blocks put bq in the lane dim, so
+    ×128 covers every spec)."""
+    out = [n] if n <= cap else []
+    out += [128 * k for k in range(min(n, cap) // 128, 0, -1)
+            if n % (128 * k) == 0]
+    return out
 
 # VMEM-stack budget (bytes). Mosaic multi-buffers operand/output blocks and
 # shares score-block intermediates; coefficients below were sanity-checked
@@ -301,14 +311,15 @@ def _stack_bytes(bq: int, n: int, d: int, kind: str) -> float:
         blocks = 2 * (4 * n * d + n * d + n * 3 * d) * 2    # q,k,v,o,do,dqkv
         inter = 3.2 * score
     elif kind == "dq":
-        blocks = 2 * (3 * bq * d + 2 * n * d + bq * d) * 2
+        blocks = 2 * (2 * bq * d + 2 * n * d + bq * d) * 2  # q,do,k,v,dq
         inter = 3.0 * score
-    else:  # dkv stripe: (n, bk) intermediates, whole-row operands
+    else:  # dkv stripe: (n, bk) intermediates; whole-row q/do only
         lanes_bk = _ceil_to(bq, 128)
         score = n * lanes_bk * 4.0
-        blocks = 2 * (4 * n * d + 2 * bq * d + 2 * bq * d) * 2
+        blocks = 2 * (2 * n * d + 2 * bq * d + 2 * bq * d) * 2
         inter = 3.0 * score
-    return blocks + inter
+    # delta/lse rows are f32 (n_heads, n) — small but not free.
+    return blocks + inter + 2 * 2 * (d // 64) * n * 4.0
 
 
 def _plan(n: int, d: int) -> tuple:
@@ -331,10 +342,21 @@ def _plan(n: int, d: int) -> tuple:
                     return n_proc, bq, bk, False
     raise ValueError(
         f"flash_attention: no block plan fits the ~{_VMEM_BUDGET >> 20} MB "
-        f"VMEM stack budget for N={n}, D={d}: this whole-KV kernel stops "
-        f"scaling around N≈8k. Use the XLA attention path "
-        f"(use_flash_attention=False) for longer sequences."
+        f"VMEM stack budget for N={n}, D={d}: the whole-KV forward stops "
+        f"scaling once 2·N·D bf16 (double-buffered) alone fills VMEM — "
+        f"N≈{_VMEM_BUDGET // (8 * d)} at this D. The dispatcher "
+        f"(ops/attention.py) falls back to the XLA path automatically; "
+        f"check `supported(n, d)` before calling the kernel directly."
     )
+
+
+def supported(n: int, d: int) -> bool:
+    """True iff a VMEM block plan exists for (sequence, embed) = (n, d)."""
+    try:
+        _plan(n, d)
+        return True
+    except ValueError:
+        return False
 
 
 # --------------------------------------------------------------------------
@@ -400,12 +422,14 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
     dh = d // n_heads
     n_proc, bq, bk, fused = _plan(n, d)
     qkv_p = _maybe_pad(qkv, n_proc)
-    out_p = _maybe_pad(out, n_proc)
     do_p = _maybe_pad(do, n_proc)
     common = dict(scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
                   padded=n_proc != n, dropout_rate=dropout_rate)
 
     if fused:
+        # Single-program backward: `o` fits in VMEM at these shapes, so
+        # delta stays an in-kernel rowsum (no extra XLA pass).
+        out_p = _maybe_pad(out, n_proc)
         q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=False)
         row_spec = pl.BlockSpec((1, n_proc, d), lambda b, *_: (b, 0, 0))
         lse_spec = pl.BlockSpec((1, n_heads, n_proc), lambda b, *_: (b, 0, 0))
@@ -425,7 +449,18 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
         )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
         return dqkv[:, :n] if n_proc != n else dqkv
 
-    # Blocked path: dq over q-blocks, dk/dv over kv-blocks, then one concat.
+    # Blocked path (long sequences): delta[b,h,i] = Σ_dh do·o as ONE XLA
+    # einsum shaped like lse, so neither blocked kernel loads the full
+    # (n, d) `o` rows — the whole-row o operand was what pushed the dkv
+    # stack over VMEM at production N=1953.
+    delta = jnp.einsum(
+        "bnhd,bnhd->bhn",
+        out.reshape(bsz, n, n_heads, dh).astype(jnp.float32),
+        do.reshape(bsz, n, n_heads, dh).astype(jnp.float32),
+    )
+    if n_proc != n:
+        delta = jnp.pad(delta, [(0, 0), (0, 0), (0, n_proc - n)])
+    # dq over q-blocks, dk/dv over kv-blocks, then one concat.
     q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=True)
     qrow = pl.BlockSpec((1, bq, d), lambda b, i, *_: (b, i, 0))
     full = pl.BlockSpec((1, n_proc, d), lambda b, i, *_: (b, 0, 0))
@@ -436,12 +471,12 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, n_proc // bq),
-            in_specs=[q_spec, k_spec, v_spec, qrow, lse_blk, qrow],
+            in_specs=[q_spec, k_spec, v_spec, lse_blk, lse_blk, qrow],
             out_specs=qrow,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
         interpret=interpret,
-    )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
+    )(seed, qkv_p, qkv_p, qkv_p, lse, delta, do_p)
 
     qfull = pl.BlockSpec((1, n_proc, d), lambda b, i, *_: (b, 0, 0))
     kblk = pl.BlockSpec((1, bk, d), lambda b, i, *_: (b, i, 1))
@@ -452,7 +487,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, n_proc // bk),
-            in_specs=[qfull, kblk, vblk, full, lse_full, full],
+            in_specs=[qfull, kblk, vblk, lse_full, lse_full, full],
             out_specs=[kvrow, kvrow],
         ),
         out_shape=[
@@ -460,7 +495,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
             jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
         ],
         interpret=interpret,
-    )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
+    )(seed, qkv_p, qkv_p, qkv_p, lse, delta, do_p)
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
     return dqkv[:, :n] if n_proc != n else dqkv
 
