@@ -27,8 +27,12 @@ SPEC = SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
 @pytest.fixture(scope="module")
 def splits(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("base_evals")
+    # "easy" profile: these tests assert the pipeline LEARNS (auc
+    # thresholds at tiny scale); discrimination is gated by the full-scale
+    # demo + test_demo_gate_ordering instead.
     df = synthetic_lfp_frame(
-        n_sessions=8, trials_per_session=12, trace_len=5200, seed=3
+        n_sessions=8, trials_per_session=12, trace_len=5200, seed=3,
+        profile="easy",
     )
     tr, va, te = create_session_splits_df(df, 0.25, 0.25)
     out = {}

@@ -30,8 +30,12 @@ SPEC = SpectrogramConfig(fs=1000, nperseg=126, noverlap=116)
 @pytest.fixture(scope="module")
 def prepared_splits(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("train_e2e")
+    # "easy" profile: the e2e assertions here are "training learns at tiny
+    # scale in few epochs" (auc > 0.8), not gate discrimination — that is
+    # covered by the full-scale demo + test_demo_gate_ordering.
     df = synthetic_lfp_frame(
-        n_sessions=10, trials_per_session=14, trace_len=5200, seed=7
+        n_sessions=10, trials_per_session=14, trace_len=5200, seed=7,
+        profile="easy",
     )
     train_df, val_df, test_df = create_session_splits_df(df, 0.2, 0.2)
     paths = {}
