@@ -65,14 +65,23 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _hash_bits(shape, seed, row0, col0):
-    """Counter-based uint32 bits (murmur3-style finalizer over GLOBAL
-    row/col coordinates). A pure function of (seed, global position):
-    every kernel regenerates the exact same bits for the same coordinates,
-    whatever block of the (N, N) plane it is looking at."""
-    r = row0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    c = col0 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    x = (r * jnp.uint32(0x9E3779B1)) ^ (c * jnp.uint32(0x85EBCA6B))
-    x = x + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+    """Counter-based uint32 bits over GLOBAL row/col coordinates. A pure
+    function of (seed, global position): every kernel regenerates the
+    exact same bits for the same coordinates, whatever block of the (N, N)
+    plane it is looking at.
+
+    VPU-lean: the row/seed and col affine parts are computed on (rows, 1)
+    and (1, cols) VECTORS (the broadcast into the full plane rides the
+    combining add), and the mixer is two rounds (mult + two xorshifts) —
+    enough diffusion for a dropout mask, at ~2/3 the full-plane op count
+    of the round-1 murmur3 finalizer."""
+    r = row0 + jax.lax.broadcasted_iota(jnp.uint32, (shape[0], 1), 0)
+    c = col0 + jax.lax.broadcasted_iota(jnp.uint32, (1, shape[1]), 1)
+    rv = r * jnp.uint32(0x9E3779B1) + seed.astype(jnp.uint32) * jnp.uint32(
+        0xC2B2AE35
+    )
+    cv = c * jnp.uint32(0x85EBCA6B)
+    x = rv + cv                                  # full-plane op 1
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
     x = x ^ (x >> 15)

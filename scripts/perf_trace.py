@@ -93,9 +93,36 @@ def main():
         if not per_name:
             continue
         print(f"\n=== plane: {plane.name} (sum {total:.1f} ms over "
-              f"{args.steps} steps) ===")
-        items = sorted(per_name.items(), key=lambda kv: -kv[1])
-        for name, dur in items[:45]:
+              f"{args.steps} steps; async spans overlap compute and "
+              f"double-count) ===")
+
+        # Bucket by op family. Async DMA pairs (copy/slice-start) report
+        # SPAN durations that overlap real compute — group them separately
+        # so the sync bucket ranking is trustworthy.
+        def family(name):
+            base = name.lstrip("%").split(" ")[0]
+            base = base.split(".")[0]
+            return base
+
+        fam_dur, fam_cnt = defaultdict(float), defaultdict(int)
+        async_fams = ("copy-start", "slice-start", "copy-done", "slice-done",
+                      "dynamic-slice-start", "dynamic-slice-done",
+                      "all-reduce-start", "all-reduce-done", "copy")
+        for name, dur in per_name.items():
+            fam_dur[family(name)] += dur
+            fam_cnt[family(name)] += count[name]
+        print("--- sync op families (ms/step) ---")
+        for fam, dur in sorted(fam_dur.items(), key=lambda kv: -kv[1]):
+            tag = " [ASYNC-SPAN]" if fam in async_fams else ""
+            print(f"{dur / args.steps:9.3f} ms/step  ×{fam_cnt[fam] // args.steps:<5d} {fam}{tag}")
+
+        print("--- top sync ops ---")
+        items = sorted(
+            ((n, d) for n, d in per_name.items()
+             if family(n) not in async_fams),
+            key=lambda kv: -kv[1],
+        )
+        for name, dur in items[:40]:
             print(f"{dur / args.steps:9.3f} ms/step  ×{count[name] // args.steps:<4d} {name[:110]}")
 
 
