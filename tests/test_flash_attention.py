@@ -187,3 +187,24 @@ def test_dropout_grad_uses_same_mask(rng):
     fd = (f(q + eps * d) - f(q - eps * d)) / (2 * eps)
     analytic = jnp.sum(g * d)
     np.testing.assert_allclose(float(analytic), float(fd), rtol=2e-2)
+
+
+def test_unsupported_shape_reports_and_dispatch_falls_back(rng):
+    """supported() must reject shapes with no VMEM block plan, and the
+    qkv dispatcher must silently take the XLA path there instead of
+    raising (ops/attention.py fallback)."""
+    from neural_vit_tpu.ops.flash_attention import _plan, supported
+
+    assert supported(513, 384) and supported(1953, 384)
+    assert not supported(4096, 384)
+    with pytest.raises(ValueError, match="no block plan"):
+        _plan(4096, 384)
+
+    # Dispatch on CPU exercises the XLA branch for any shape; the
+    # supported() check guards the TPU branch (same code path).
+    from neural_vit_tpu.ops.attention import multi_head_attention_qkv
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 20, 3 * 64)),
+                    jnp.float32)
+    out, _ = multi_head_attention_qkv(x, n_heads=1, scale=0.125)
+    assert out.shape == (1, 20, 64)
