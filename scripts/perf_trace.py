@@ -22,12 +22,12 @@ from neural_vit_tpu.training.loop import TrainState, make_step_fns
 BATCH = 256
 
 
-def build(cfg):
+def build(cfg, batch=BATCH):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
-        (BATCH, cfg.n_trials, cfg.freq_size, cfg.time_size)), jnp.float32)
-    y = jnp.asarray(rng.integers(0, 2, BATCH))
-    mask = jnp.ones(BATCH, jnp.float32)
+        (batch, cfg.n_trials, cfg.freq_size, cfg.time_size)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, batch))
+    mask = jnp.ones(batch, jnp.float32)
     key = jax.random.key(1, impl="rbg")
     model = Temporal3DViT(cfg)
     variables = model.init(jax.random.key(0), x)
@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.2)
     ap.add_argument("--drop_path", type=float, default=0.1)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--logdir", default="/tmp/jaxtrace")
     args = ap.parse_args()
 
@@ -53,7 +54,7 @@ def main():
         dropout=args.dropout, attention_dropout=args.attn_dropout,
         drop_path=args.drop_path, gelu=args.gelu, norm_dtype=args.norm_dtype,
     )
-    ts, state, (x, y, mask, key) = build(cfg)
+    ts, state, (x, y, mask, key) = build(cfg, args.batch)
     t0 = time.perf_counter()
     state, m = ts(state, x, y, mask, key)
     jax.block_until_ready(m["loss_sum"])
