@@ -1,0 +1,91 @@
+"""Serving export: self-contained StableHLO artifact round-trip.
+
+The reference has no deployment path (its eval-job checkpoint loader is an
+unchecked TODO, project_plan.md:115-117); here the eval forward exports via
+jax.export with a symbolic batch dim and reloads without model code.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_vit_tpu.core.config import Temporal3DViTConfig
+from neural_vit_tpu.models.vit import Temporal3DViT
+from neural_vit_tpu.serving import (
+    export_checkpoint,
+    load_exported,
+    save_exported,
+)
+from neural_vit_tpu.training.checkpoint import save_checkpoint
+
+CFG = Temporal3DViTConfig(
+    n_trials=4, freq_size=16, time_size=32,
+    patch_trial=2, patch_freq=8, patch_time=8,
+    embed_dim=64, n_heads=2, n_layers=2,
+    compute_dtype="float32", use_flash_attention=False,
+)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serving")
+    model = Temporal3DViT(CFG)
+    x = jnp.zeros((2, CFG.n_trials, CFG.freq_size, CFG.time_size))
+    params = model.init(jax.random.key(0), x)["params"]
+    path = str(tmp / "model.nvx")
+    save_exported(path, params, CFG, platforms=("cpu",))
+    return path, params, model
+
+
+def test_roundtrip_matches_eval_forward(artifact):
+    path, params, model = artifact
+    served = load_exported(path)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(
+        (3, CFG.n_trials, CFG.freq_size, CFG.time_size)).astype(np.float32)
+    got = np.asarray(served.predict(x))
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                  train=False))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_symbolic_batch_and_proba(artifact):
+    path, _, _ = artifact
+    served = load_exported(path)
+    rng = np.random.default_rng(1)
+    for batch in (1, 5):
+        x = rng.standard_normal(
+            (batch, CFG.n_trials, CFG.freq_size, CFG.time_size)
+        ).astype(np.float32)
+        probs = served.predict_proba(x)
+        assert probs.shape == (batch, CFG.n_classes)
+        np.testing.assert_allclose(probs.sum(-1), np.ones(batch), atol=1e-5)
+    single = served.predict(x[0])  # 3-D convenience path
+    assert single.shape == (1, CFG.n_classes)
+
+
+def test_sidecar_describes_artifact(artifact):
+    path, _, _ = artifact
+    with open(path + ".json") as f:
+        sidecar = json.load(f)
+    assert sidecar["format"] == "neural-vit-tpu-exported-v1"
+    assert sidecar["input_shape"] == ["b", CFG.n_trials, CFG.freq_size,
+                                     CFG.time_size]
+    assert sidecar["class_names"] == ["WT", "FMR1"]
+    assert sidecar["model_config"]["embed_dim"] == 64
+
+
+def test_export_from_checkpoint(tmp_path, artifact):
+    _, params, model = artifact
+    save_checkpoint(str(tmp_path), "best", params, CFG)
+    out = str(tmp_path / "served.nvx")
+    export_checkpoint(str(tmp_path), "best", out, platforms=("cpu",))
+    served = load_exported(out)
+    x = np.zeros((2, CFG.n_trials, CFG.freq_size, CFG.time_size), np.float32)
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                  train=False))
+    np.testing.assert_allclose(np.asarray(served.predict(x)), want,
+                               atol=1e-5)
