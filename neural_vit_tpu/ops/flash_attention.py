@@ -13,11 +13,17 @@ design none of those ops exist — the only HBM tensors are qkv, out, lse, and
 their gradients, all in matmul-native layouts, at the true sequence length
 (Mosaic handles non-128 trailing dims logically; no zero padding).
 
-Kernel math per (batch, head), one q-block per grid step:
-    s   = (q·scale) @ kᵀ              (scale folded into q: (bq,Dh) not (bq,N))
-    lse = rowmax(s) + log(rowsum(exp(s - rowmax(s))))     → emitted (B, H, N)
-    p   = exp(s - lse)                 (exact softmax)
-    o   = (p ∘ keep) @ v               (keep: inverted-dropout mask, see below)
+Kernel math per (batch, head), one q-block per grid step (all exponentials
+run in base 2 — scale·log2e is folded into the q operand build, so the
+full-plane op is a bare exp2; lse keeps its natural-log HBM contract via
+(n, 1)-vector conversions):
+    s₂  = (q·scale·log2e) @ kᵀ        (folded into q: (bq,Dh) not (bq,N))
+    lse = ln2·rowmax(s₂) + log(rowsum(exp2(s₂ - rowmax(s₂))))  → (B, H, N)
+    p   = exp2(s₂ - lse·log2e)         (exact softmax)
+    o   = (p ∘ keep01) @ v / (1-rate)  (keep01: {0,1} dropout select; the
+                                        1/(1-rate) rescale rides the existing
+                                        vector/scalar epilogues, never a
+                                        full (N, N) multiply)
 Backward uses the saved (o, lse) pair — the classic flash residuals:
     delta = rowsum(do ∘ o)             (Σₖ pₖ dpₖ = Σ_d do_d o_d; in-kernel
                                         on the fused path, but precomputed
@@ -59,6 +65,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
+# exp(x) on the VPU lowers to exp2(x·log2e) — folding log2e into the score
+# scale (a (n, dh) operand build that already multiplies by `scale`) turns
+# every full-plane exp into a bare exp2, deleting one (n, n) multiply per
+# plane. lse keeps its natural-log HBM contract: the kernels convert at
+# vector (n, 1) granularity.
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
+
+def _scaled(q, c: float):
+    """q·c with the constant held in f32. scale=Dh^-0.5 is usually a power
+    of two (exact in bf16) but scale·log2e is not — pre-rounding the
+    constant to bf16 would shift the softmax temperature systematically by
+    ~2^-9; multiplying in f32 and rounding per element leaves only
+    unbiased representation noise."""
+    return (q.astype(jnp.float32) * jnp.float32(c)).astype(q.dtype)
+
 
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -90,12 +113,15 @@ def _hash_bits(shape, seed, row0, col0):
     return x
 
 
-def _dropout_keep(shape, rate: float, seed, row0, col0=0):
-    """Inverted-dropout keep multiplier: 1/(1-p) with prob (1-p), else 0."""
+def _keep_mask(shape, rate: float, seed, row0, col0=0):
+    """Boolean keep mask (True = keep). The 1/(1-rate) inverted-dropout
+    rescale is NOT applied here: callers zero dropped lanes with a bare
+    select and fold the scalar rescale into vector-level epilogues
+    (denom, delta, output scales) — one less full-plane multiply than
+    building a {0, 1/(1-rate)} multiplier plane."""
     bits = _hash_bits(shape, seed, row0, col0)
     threshold = jnp.uint32(int(rate * (2 ** 32)))
-    keep = bits >= threshold
-    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+    return bits >= threshold
 
 
 def _head_seed(seed_ref, b, h: int, n_heads: int):
@@ -121,24 +147,26 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[0, :, sl] * q_ref.dtype.type(scale)   # (bq, dh)
+        q = _scaled(q_ref[0, :, sl], scale * _LOG2E)   # (bq, dh)
         k = k_ref[0, :, sl]                             # (nk, dh)
         v = v_ref[0, :, sl]
-        s = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(                       # s·log2e
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                               # (bq, nk)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        p = jnp.exp2(s2 - m2)                           # == exp(s - m)
         if padded:
             p = _col_mask(p, n_valid, 0)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        lse = m + jnp.log(denom)                        # (bq, 1)
+        lse = m2 * _LN2 + jnp.log(denom)                # (bq, 1), natural log
         lse_ref[0, h:h + 1, :] = jnp.transpose(lse)
         if dropout_rate > 0.0:
-            p = p * _dropout_keep(
-                p.shape, dropout_rate,
-                _head_seed(seed_ref, b, h, n_heads), row0,
+            p = jnp.where(
+                _keep_mask(p.shape, dropout_rate,
+                           _head_seed(seed_ref, b, h, n_heads), row0),
+                p, 0.0,
             )
+            denom = denom * (1.0 - dropout_rate)        # folded 1/(1-r)
         acc = jax.lax.dot_general(                      # (bq, dh)
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -164,11 +192,12 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         do = do_ref[0, :, sl]                           # (n, dh)
         o = o_ref[0, :, sl]
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
-        qs = q * q.dtype.type(scale)
-        s = jax.lax.dot_general(
-            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        qs2 = _scaled(q, scale * _LOG2E)
+        s2 = jax.lax.dot_general(
+            qs2, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        p = jnp.exp(s - lse)                            # exact softmax probs
+        p = jnp.exp2(s2 - lse * jnp.float32(_LOG2E))    # exact softmax probs
         if padded:
             p = _col_mask(p, n_valid, 0)
         dp = jax.lax.dot_general(                       # do @ vᵀ: (n, n)
@@ -178,30 +207,39 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
         delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                         axis=-1, keepdims=True)         # (n, 1)
         if dropout_rate > 0.0:
-            keep = _dropout_keep(
+            # Rescale folded out of the plane: ds_true = inv·ds below,
+            # pk_true = inv·pk — the inv lands in the output scales.
+            keep = _keep_mask(
                 p.shape, dropout_rate,
                 _head_seed(seed_ref, b, h, n_heads), jnp.uint32(0),
             )
-            ds = p * (dp * keep - delta)
-            pk = p * keep
+            inv = 1.0 / (1.0 - dropout_rate)
+            ds = p * (jnp.where(keep, dp, 0.0)
+                      - delta * (1.0 - dropout_rate))
+            pk = jnp.where(keep, p, 0.0)
+            dq_scale, dk_scale, dv_scale = scale * inv, inv / _LOG2E, inv
         else:
             ds = p * (dp - delta)
             pk = p
+            dq_scale, dk_scale, dv_scale = scale, 1.0 / _LOG2E, 1.0
         ds_c = ds.astype(q.dtype)
         dqkv_ref[0, :, sl] = (jax.lax.dot_general(
             ds_c, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale).astype(dqkv_ref.dtype)
+        ) * dq_scale).astype(dqkv_ref.dtype)
         dqkv_ref[0, :, d + h * dh:d + (h + 1) * dh] = (jax.lax.dot_general(
-            ds_c, qs, (((0,), (0,)), ((), ())),         # dsᵀ @ (q·scale)
+            ds_c, qs2, (((0,), (0,)), ((), ())),     # dsᵀ @ (q·scale·log2e)
             preferred_element_type=jnp.float32,
-        )).astype(dqkv_ref.dtype)
+        ) * dk_scale).astype(dqkv_ref.dtype)
+        dv = jax.lax.dot_general(
+            pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0:
+            dv = dv * dv_scale
         dqkv_ref[0, :, 2 * d + h * dh:2 * d + (h + 1) * dh] = (
-            jax.lax.dot_general(
-                pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        ).astype(dqkv_ref.dtype)
+            dv.astype(dqkv_ref.dtype)
+        )
 
 
 # --------------------------------------------------------------------------
@@ -215,15 +253,16 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref, do_ref,
     row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        qs = q_ref[0, :, sl] * q_ref.dtype.type(scale)  # (bq, dh)
+        qs2 = _scaled(q_ref[0, :, sl], scale * _LOG2E)  # (bq, dh)
         k = k_ref[0, :, sl]                             # (nk, dh)
         v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]                           # (bq, dh)
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (bq, 1)
-        s = jax.lax.dot_general(
-            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        s2 = jax.lax.dot_general(
+            qs2, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s2 - lse * jnp.float32(_LOG2E))
         if padded:
             p = _col_mask(p, n_valid, 0)
         dp = jax.lax.dot_general(
@@ -232,15 +271,20 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref, do_ref,
         )
         delta = jnp.transpose(delta_ref[0, h:h + 1, :])  # (bq, 1)
         if dropout_rate > 0.0:
-            dp = dp * _dropout_keep(
-                p.shape, dropout_rate,
-                _head_seed(seed_ref, b, h, n_heads), row0,
+            dp = jnp.where(
+                _keep_mask(p.shape, dropout_rate,
+                           _head_seed(seed_ref, b, h, n_heads), row0),
+                dp, 0.0,
             )
-        ds = (p * (dp - delta)).astype(qs.dtype)
+            delta = delta * (1.0 - dropout_rate)
+            dq_scale = scale / (1.0 - dropout_rate)
+        else:
+            dq_scale = scale
+        ds = (p * (dp - delta)).astype(qs2.dtype)
         dq_ref[0, :, sl] = (jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale).astype(dq_ref.dtype)
+        ) * dq_scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref,
@@ -252,15 +296,16 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref,
     col0 = (pl.program_id(1) * k_ref.shape[1]).astype(jnp.uint32)
     for h in range(n_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        qs = q_ref[0, :, sl] * q_ref.dtype.type(scale)  # (n, dh) all rows
+        qs2 = _scaled(q_ref[0, :, sl], scale * _LOG2E)  # (n, dh)
         k = k_ref[0, :, sl]                             # (bk, dh) this block
         v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]                           # (n, dh)
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
-        s = jax.lax.dot_general(                        # (n, bk) stripe
-            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        s2 = jax.lax.dot_general(                       # (n, bk) stripe
+            qs2, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s2 - lse * jnp.float32(_LOG2E))
         if padded:
             p = _col_mask(p, n_valid, col0)
         dp = jax.lax.dot_general(                       # (n, bk)
@@ -269,23 +314,30 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref,
         )
         delta = jnp.transpose(delta_ref[0, h:h + 1, :])  # (n, 1)
         if dropout_rate > 0.0:
-            keep = _dropout_keep(
+            keep = _keep_mask(
                 p.shape, dropout_rate,
                 _head_seed(seed_ref, b, h, n_heads), jnp.uint32(0), col0,
             )
-            ds = p * (dp * keep - delta)
-            pk = p * keep
+            inv = 1.0 / (1.0 - dropout_rate)
+            ds = p * (jnp.where(keep, dp, 0.0)
+                      - delta * (1.0 - dropout_rate))
+            pk = jnp.where(keep, p, 0.0)
+            dk_scale, dv_scale = inv / _LOG2E, inv
         else:
             ds = p * (dp - delta)
             pk = p
+            dk_scale, dv_scale = 1.0 / _LOG2E, 1.0
         dk_ref[0, :, sl] = (jax.lax.dot_general(
-            ds.astype(qs.dtype), qs, (((0,), (0,)), ((), ())),  # dsᵀ @ q·scale
+            ds.astype(qs2.dtype), qs2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )).astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = (jax.lax.dot_general(
+        ) * dk_scale).astype(dk_ref.dtype)
+        dv = jax.lax.dot_general(
             pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),  # p̃ᵀ @ do
             preferred_element_type=jnp.float32,
-        )).astype(dv_ref.dtype)
+        )
+        if dropout_rate > 0.0:
+            dv = dv * dv_scale
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 # --------------------------------------------------------------------------

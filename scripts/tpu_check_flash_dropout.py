@@ -26,11 +26,14 @@ w = rng.standard_normal((B, N, H, DH)).astype(np.float32)
 
 def mask_kernel(seed_ref, o_ref, *, rate):
     # Kernel mask semantics: per-(batch, head) seed, global (row, col) hash.
+    # Emit the inverted-dropout multiplier {0, 1/(1-rate)} the kernels now
+    # apply as select + folded vector rescale.
     bh = pl.program_id(0)
-    o_ref[0] = fa._dropout_keep(
+    keep = fa._keep_mask(
         (o_ref.shape[1], o_ref.shape[2]), rate,
         seed_ref[0] + bh, jnp.uint32(0),
-    ).astype(jnp.bfloat16)
+    )
+    o_ref[0] = jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.bfloat16)
 
 
 spec = pl.BlockSpec((1, N, N), lambda b, *_: (b, 0, 0))
