@@ -98,6 +98,41 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5):
     return vols_per_sec
 
 
+def bench_inference_throughput(batch: int = 128, steps: int = 60):
+    """Serving-side diagnostic: eval-mode forward (no dropout, flash
+    attention, bf16 compute) — what the exported StableHLO artifact runs.
+    stderr only; the stdout contract stays one JSON line."""
+    from neural_vit_tpu.core.config import CONFIGS
+    from neural_vit_tpu.models.vit import Temporal3DViT
+
+    cfg = CONFIGS["small"].replace(gelu="tanh")
+    model = Temporal3DViT(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((batch, cfg.n_trials, cfg.freq_size, cfg.time_size)),
+        jnp.float32,
+    )
+    params = model.init(jax.random.key(0), x)["params"]
+
+    @jax.jit
+    def infer(params, x):
+        return model.apply({"params": params}, x, train=False)
+
+    logits = infer(params, x)
+    float(logits[0, 0])  # value fetch = execution fence
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        logits = infer(params, x)
+    float(logits[0, 0])
+    dt = time.perf_counter() - t0
+    vps = batch * steps / dt
+    fwd_flops = FLOPS_PER_VOLUME / 3.0  # bwd ≈ 2× fwd
+    log(f"inference (eval fwd, batch {batch}): {vps:,.0f} volumes/sec/chip, "
+        f"implied {vps * fwd_flops / 1e12:.1f} TFLOP/s "
+        f"({100 * vps * fwd_flops / 1e12 / PEAK_TFLOPS:.1f}% MFU)")
+    return vps
+
+
 def bench_preprocess_throughput(batch: int = 2048, chain: int = 50):
     """Device throughput of the fused STFT+log+z-norm (production 126/116
     params, 5000-sample traces). The `chain` iterations run INSIDE one
@@ -169,10 +204,9 @@ def bench_preprocess_throughput(batch: int = 2048, chain: int = 50):
 
 def main():
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    try:
-        bench_preprocess_throughput()
-    except Exception as exc:  # diagnostics only — never break the JSON line
-        log(f"preprocess bench failed: {exc}")
+    # Contract metric FIRST: the tunneled device occasionally wedges
+    # mid-session, and a hang inside a stderr-only diagnostic must not
+    # block the one JSON line the driver consumes.
     value = bench_train_throughput()
     target = 5000.0
     print(json.dumps({
@@ -180,7 +214,15 @@ def main():
         "value": round(value, 1),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(value / target, 3),
-    }))
+    }), flush=True)
+    try:
+        bench_preprocess_throughput()
+    except Exception as exc:  # diagnostics only — never break the JSON line
+        log(f"preprocess bench failed: {exc}")
+    try:
+        bench_inference_throughput()
+    except Exception as exc:
+        log(f"inference bench failed: {exc}")
 
 
 if __name__ == "__main__":
