@@ -31,6 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from neural_vit_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 # v5e bf16 peak (TFLOP/s) — for the MFU diagnostic.
 PEAK_TFLOPS = 197.0
 # Analytic fwd+bwd FLOPs per (8, 64, 128) volume for the 'small' config

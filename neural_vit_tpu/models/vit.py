@@ -269,15 +269,19 @@ class Temporal3DViT(nn.Module):
 
         # Patch embedding: reshape to per-patch vectors + one Dense. The
         # (pk, pf, pt) ordering matches Conv3d's kernel layout so checkpoints
-        # are interchangeable with the reference's conv weights.
-        x = x.reshape(b, gk, pk, gf, pf, gt, pt)
+        # are interchangeable with the reference's conv weights. Cast to the
+        # compute dtype BEFORE the 7-D transpose: the Dense rounds its input
+        # to bf16 anyway, and moving the cast ahead of the shuffle halves its
+        # HBM traffic (measured 2.83 → 1.32 ms at bench dims, bit-identical
+        # output; scripts/perf_patch_embed.py).
+        x = x.astype(dtype).reshape(b, gk, pk, gf, pf, gt, pt)
         x = x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
             b, cfg.n_patches, cfg.patch_dim
         )
         x = nn.Dense(
             cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
             param_dtype=pdtype, name="patch_embed",
-        )(x.astype(dtype))
+        )(x)
 
         # Factorized positional embeddings (reference `model.py:276-285`):
         # three learned tables broadcast-summed over the (K', F', T') grid.

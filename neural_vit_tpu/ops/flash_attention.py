@@ -424,6 +424,15 @@ def supported(n: int, d: int) -> bool:
 # pallas_call drivers
 # --------------------------------------------------------------------------
 
+# No kernel carries state across grid steps (fwd/dq/dkv write disjoint
+# blocks; the fused bwd is one program per batch), so every grid dim is
+# `parallel` — lets Mosaic reorder/overlap programs instead of assuming a
+# sequential ("arbitrary") carried dependency.
+_PARALLEL_2D = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel")
+)
+
+
 def _maybe_pad(x, n_proc: int):
     n = x.shape[1]
     if n_proc == n:
@@ -469,6 +478,7 @@ def _flash_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
             jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
             jax.ShapeDtypeStruct((bsz, n_heads, n_proc), jnp.float32),
         ],
+        compiler_params=_PARALLEL_2D,
         interpret=interpret,
     )(seed, qkv_p, qkv_p, qkv_p)
     if n_proc != n:
@@ -506,6 +516,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, n_proc, 3 * d), qkv.dtype),
+            compiler_params=_PARALLEL_2D,
             interpret=interpret,
         )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
         return dqkv[:, :n] if n_proc != n else dqkv
@@ -536,6 +547,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
             out_specs=qrow,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
+        compiler_params=_PARALLEL_2D,
         interpret=interpret,
     )(seed, qkv_p, qkv_p, qkv_p, lse, delta, do_p)
 
@@ -555,6 +567,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
             jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
             jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
         ],
+        compiler_params=_PARALLEL_2D,
         interpret=interpret,
     )(seed, qkv_p, qkv_p, qkv_p, lse, delta, do_p)
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)

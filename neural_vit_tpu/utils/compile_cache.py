@@ -1,0 +1,43 @@
+"""Persistent XLA compilation cache.
+
+Train-step compiles run 30-400 s per process on the tunneled TPU backend
+(and tens of seconds on the 8-virtual-device CPU mesh the tests use), and
+every CLI entry point pays it again. JAX's persistent compilation cache
+keys executables by (HLO, flags, backend) content hash, so re-runs of
+bench/tests/scripts skip straight to execution. Verified to work over the
+remote axon TPU plugin.
+
+Call `enable_compilation_cache()` before the first jax computation. It is
+a no-op if the user already configured a cache dir.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "neural_vit_tpu", "xla_cache"
+)
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at `path` (created if
+    missing). Respects an existing JAX_COMPILATION_CACHE_DIR / config
+    setting; returns the directory in effect."""
+    import jax
+
+    configured = jax.config.jax_compilation_cache_dir
+    if configured:
+        return configured
+    cache_dir = (
+        path
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or _DEFAULT_DIR
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything, including sub-second compiles: the suite compiles
+    # hundreds of small jits and the wins compound.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir

@@ -30,6 +30,10 @@ if not os.environ.get("NEURAL_VIT_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+from neural_vit_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
