@@ -95,9 +95,17 @@ def _hash_bits(shape, seed, row0, col0):
 
     VPU-lean: the row/seed and col affine parts are computed on (rows, 1)
     and (1, cols) VECTORS (the broadcast into the full plane rides the
-    combining add), and the mixer is two rounds (mult + two xorshifts) —
-    enough diffusion for a dropout mask, at ~2/3 the full-plane op count
-    of the round-1 murmur3 finalizer."""
+    combining add), and the mixer is ONE round — combine, xorshift, mult:
+    5 full-plane ops against the round-1 murmur3 finalizer's ~10. The
+    dropout threshold compares the full 32-bit value, which the final
+    multiply's avalanche serves well in its high bits; the known weakness
+    of a single round (structured LOW bits) never reaches the compare.
+    Collisions from the affine combine (two coordinates hashing
+    identically) occur for ~n³/2³² ≈ 0.03 positions per 513² plane —
+    irrelevant for a dropout mask. The full-step cost of this plane is
+    real: the N=513 kernels are VPU-bound, and each saved full-plane op
+    is ~0.5 µs/program (measured: 2-round → 1-round mixer lifted the
+    whole train step 1,462 → 1,489 v/s, +1.9%)."""
     r = row0 + jax.lax.broadcasted_iota(jnp.uint32, (shape[0], 1), 0)
     c = col0 + jax.lax.broadcasted_iota(jnp.uint32, (1, shape[1]), 1)
     rv = r * jnp.uint32(0x9E3779B1) + seed.astype(jnp.uint32) * jnp.uint32(
@@ -105,11 +113,8 @@ def _hash_bits(shape, seed, row0, col0):
     )
     cv = c * jnp.uint32(0x85EBCA6B)
     x = rv + cv                                  # full-plane op 1
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
+    x = x ^ (x >> 16)                            # ops 2-3
+    x = x * jnp.uint32(0x7FEB352D)               # op 4 (cmp in caller is 5)
     return x
 
 
