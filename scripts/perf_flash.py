@@ -27,9 +27,13 @@ from neural_vit_tpu.ops.flash_attention import flash_attention_qkv
 
 
 def _timed(jitted, x, iters):
-    out = jax.block_until_ready(jitted(x))
+    """Warm on x, time on a DISTINCT buffer: the remote executor memoizes
+    a repeated (executable, operand) call even when the executable is a
+    whole 50-iteration loop — timing the same call twice reads ~0 ms."""
+    jax.block_until_ready(jitted(x))
+    x2 = jax.block_until_ready(x * jnp.bfloat16(1.0078125))
     t0 = time.perf_counter()
-    out = jax.block_until_ready(jitted(x))
+    out = jax.block_until_ready(jitted(x2))
     return (time.perf_counter() - t0) / iters, out
 
 
