@@ -7,9 +7,10 @@ Measures full training steps (forward + backward + AdamW update) of the
 'small' Temporal 3D ViT (384d / 6h / 8L, 513 tokens) on (8, 64, 128)
 spectrogram volumes under real train conditions — dropout, attention
 dropout (in-kernel, flash path), stochastic depth, class-weighted smoothed
-CE. The model runs its TPU performance configuration (tanh-approximate
-GELU; the exact-erf torch-parity formulation stays available via
-`gelu="erf"` — quality-neutral, see docs/ROOFLINE.md). vs_baseline is
+CE. The model runs its TPU performance configuration (QuickGELU
+x·σ(1.702x), the CLIP/GPT-2 formulation — measured A/B 1,511 vs tanh's
+1,502 v/s; the exact-erf torch-parity formulation stays available via
+`gelu="erf"` — see docs/ROOFLINE.md). vs_baseline is
 measured against the north-star target of 5,000 volumes/sec/chip
 (BASELINE.json; the reference never measured throughput — SURVEY §6).
 NOTE on the target: 5,000 v/s × ~53 GFLOP/volume = ~265 TFLOP/s, which
@@ -46,7 +47,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5):
+def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
+                           gelu: str = "quick"):
     # batch 128 is the measured best single-chip operating point
     # (sweep, r2: 64→1345, 96→1394, 128→1456, 192→1278, 256→1409 v/s);
     # under data parallelism the global batch is per-chip × n_chips, so
@@ -56,7 +58,7 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5):
     from neural_vit_tpu.training.loop import TrainState, make_step_fns
 
     cfg = CONFIGS["small"].replace(
-        dropout=0.2, attention_dropout=0.1, drop_path=0.1, gelu="tanh",
+        dropout=0.2, attention_dropout=0.1, drop_path=0.1, gelu=gelu,
     )
     model = Temporal3DViT(cfg)
     rng = np.random.default_rng(0)

@@ -60,7 +60,9 @@ class Temporal3DViTConfig:
     gelu: str = "erf"                  # "erf" = exact torch parity;
                                        # "tanh" = standard fast approximation
                                        # (far fewer VPU ops; the usual ViT
-                                       # training choice, quality-neutral)
+                                       # training choice, quality-neutral);
+                                       # "quick" = x·σ(1.702x) (QuickGELU,
+                                       # cheapest on the VPU)
     norm_dtype: str = "float32"        # LayerNorm compute dtype. "bfloat16"
                                        # keeps the normalized stream in bf16
                                        # (mean/var still accumulate f32 via

@@ -42,7 +42,11 @@ trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
 def _gelu(x, kind: str = "erf"):
     # torch nn.GELU() default is the exact erf formulation; "tanh" is the
-    # cheap approximation (config.gelu — a VPU-cost knob, quality-neutral).
+    # standard cheap approximation; "quick" is x·σ(1.702x) (the CLIP/GPT-2
+    # "QuickGELU") — the cheapest on the VPU: one exp + one reciprocal vs
+    # the tanh path's polynomial (config.gelu — a VPU-cost knob).
+    if kind == "quick":
+        return x * jax.nn.sigmoid(jnp.asarray(1.702, x.dtype) * x)
     return jax.nn.gelu(x, approximate=(kind == "tanh"))
 
 

@@ -40,6 +40,23 @@ def test_forward_shapes_and_channel_dim():
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits5))
 
 
+def test_gelu_variants_close_and_usable():
+    """The gelu config knob: 'tanh' and 'quick' are approximations of the
+    exact-erf reference formulation — bounded pointwise deviation on the
+    activation range, and the model must run under each."""
+    from neural_vit_tpu.models.vit import _gelu
+
+    x = jnp.linspace(-6.0, 6.0, 4001)
+    ref = _gelu(x, "erf")
+    # Known approximation bounds: tanh ≤ ~1e-3 abs, quick ≤ ~2e-2 abs.
+    assert float(jnp.max(jnp.abs(_gelu(x, "tanh") - ref))) < 2e-3
+    assert float(jnp.max(jnp.abs(_gelu(x, "quick") - ref))) < 2.5e-2
+    for kind in ("tanh", "quick"):
+        model, variables, xx = _init(TINY.replace(gelu=kind))
+        logits = model.apply(variables, xx)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         Temporal3DViTConfig(n_trials=7, patch_trial=2).validate()
