@@ -48,7 +48,7 @@ def log(*a):
 
 
 def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
-                           gelu: str = "quick"):
+                           gelu: str = "quick", scoped_vmem_kib: int = 26624):
     # batch 128 is the measured best single-chip operating point
     # (sweep, r2: 64→1345, 96→1394, 128→1456, 192→1278, 256→1409 v/s);
     # under data parallelism the global batch is per-chip × n_chips, so
@@ -74,9 +74,18 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
     state = TrainState.create(
         apply_fn=model.apply, params=variables["params"], tx=tx
     )
+    # Scoped-VMEM limit 26 MiB: XLA's fusion working-set decisions at the
+    # default 16 MiB leave ~6% on the table for this model; measured
+    # plateau 20-28 MiB ≈ 1,590-1,600 v/s, cliff at 32 MiB (1,459) — see
+    # docs/ROOFLINE.md. Sent per-compile (TPU-only XLA_FLAGS would abort
+    # the local process over the remote backend).
     train_step, _ = make_step_fns(
         model, class_weights=np.array([0.9, 1.1], np.float32),
         label_smoothing=0.05,
+        compiler_options=(
+            {"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
+            if scoped_vmem_kib else None
+        ),
     )
     key = jax.random.key(1, impl="rbg")  # hardware RNG for dropout masks
 

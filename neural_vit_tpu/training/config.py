@@ -81,3 +81,10 @@ class TrainConfig:
     # RngBitGenerator (hardware-accelerated on TPU); the default threefry
     # costs ~25% of a train step generating the big dropout masks.
     prng_impl: str = "rbg"
+    # XLA scoped-VMEM limit (KiB) for the jitted steps, sent per-compile
+    # via compiler_options (TPU-only XLA_FLAGS abort local processes on
+    # remote backends). Changes XLA's fusion working-set decisions;
+    # measured NON-monotonic: 24576 → 1,584 v/s on the bench config vs
+    # 1,510 at the 16 MiB default, but 32768 → 1,459 (docs/ROOFLINE.md).
+    # None = compiler default. Re-sweep when the model shape changes.
+    scoped_vmem_limit_kib: Optional[int] = None

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -99,10 +99,16 @@ def infer_input_dims(dataset) -> Tuple[int, int]:
     return dataset.freq_size, dataset.time_size
 
 
-def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float):
+def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
+                  compiler_options: Optional[dict] = None):
     """Build jitted train/eval steps. Both return per-batch metric arrays:
     {loss_sum, correct, n_valid, probs} — probabilities stay on device for a
-    single per-epoch host transfer."""
+    single per-epoch host transfer.
+
+    compiler_options: optional per-compile XLA overrides (e.g.
+    {"xla_tpu_scoped_vmem_limit_kib": "32768"}). They travel with the
+    executable, so they work over remote backends where TPU-only entries
+    in the XLA_FLAGS env var would abort the local process."""
     cw = jnp.asarray(class_weights) if class_weights is not None else None
 
     def _metrics(logits, labels, mask, loss):
@@ -119,7 +125,7 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float):
             "probs": probs,
         }
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), compiler_options=compiler_options)
     def train_step(state: TrainState, vol, labels, mask, base_rng):
         # Per-step key derived inside the step from the traced step counter —
         # no host sync on state.step.
@@ -140,7 +146,7 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float):
         state = state.apply_gradients(grads=grads)
         return state, _metrics(logits, labels, mask, loss)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_options)
     def eval_step(params, vol, labels, mask):
         logits = model.apply({"params": params}, vol, train=False)
         loss = weighted_smoothed_cross_entropy(
@@ -313,7 +319,11 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     state = jax.device_put(state, param_shardings(state, mesh))
 
     train_step, eval_step = make_step_fns(
-        model, class_weights, cfg.label_smoothing
+        model, class_weights, cfg.label_smoothing,
+        compiler_options=(
+            {"xla_tpu_scoped_vmem_limit_kib": str(cfg.scoped_vmem_limit_kib)}
+            if cfg.scoped_vmem_limit_kib else None
+        ),
     )
 
     # ---- logging / checkpoints (reference train.py:172-204) ----

@@ -34,6 +34,10 @@ def main():
                          "tunnel; use default device on a real TPU VM")
     ap.add_argument("--workdir", default="/tmp/full_scale_demo")
     ap.add_argument("--outdir", default="demo_results")
+    ap.add_argument("--gelu", default="erf",
+                    help="'erf' = reference parity; 'tanh'/'quick' run the "
+                         "gate under the TPU perf formulations (artifact "
+                         "gets a _<gelu> suffix so the erf record stays)")
     args = ap.parse_args()
 
     from neural_vit_tpu.baselines import logreg
@@ -110,6 +114,7 @@ def main():
         dropout=0.2, attention_dropout=0.1, drop_path=0.1,
         use_cosine_schedule=True, warmup_epochs=3,
         early_stopping_patience=5, checkpoint_metric="val_auc",
+        gelu=args.gelu,
         # Production T=488 → N=1953 tokens: remat keeps activation HBM at
         # ~O(layers × block-input) so the device-resident dataset plus
         # batch-64 training fits on one 16 GB chip.
@@ -137,7 +142,8 @@ def main():
         "wall_s": round(time.perf_counter() - t0, 1),
     }
 
-    out = f"{args.outdir}/full_scale_demo.json"
+    suffix = "" if args.gelu == "erf" else f"_{args.gelu}"
+    out = f"{args.outdir}/full_scale_demo{suffix}.json"
     with open(out, "w") as f:
         json.dump(report, f, indent=2, default=str)
     print(f"Report → {out}", flush=True)
