@@ -61,6 +61,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--project_id", type=str, default="lfp-temporal-vit")
     parser.add_argument("--location", type=str, default="us-central1")
     parser.add_argument("--model_size", type=str, default="small")
+    # TPU perf knobs beyond the reference CLI (docs/ROOFLINE.md): the
+    # measured-fast activation and the per-compile scoped-VMEM limit.
+    parser.add_argument("--gelu", type=str, default="erf",
+                        choices=["erf", "tanh", "quick"])
+    parser.add_argument("--scoped_vmem_limit_kib", type=int, default=None)
     return parser.parse_args(argv)
 
 
@@ -111,6 +116,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         experiment_name=args.experiment_name,
         project_id=args.project_id,
         location=args.location,
+        gelu=getattr(args, "gelu", "erf"),
+        scoped_vmem_limit_kib=getattr(args, "scoped_vmem_limit_kib", None),
     )
 
 

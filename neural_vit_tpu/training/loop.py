@@ -318,11 +318,15 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     # (params and the mirrored AdamW mu/nu trees), replicated elsewhere.
     state = jax.device_put(state, param_shardings(state, mesh))
 
+    # xla_tpu_* compile options only exist on the TPU backend — the CPU
+    # compiler rejects them at compile time, so drop the knob off-TPU
+    # (tests and dry-runs share this code path).
+    on_tpu = jax.devices()[0].platform == "tpu"
     train_step, eval_step = make_step_fns(
         model, class_weights, cfg.label_smoothing,
         compiler_options=(
             {"xla_tpu_scoped_vmem_limit_kib": str(cfg.scoped_vmem_limit_kib)}
-            if cfg.scoped_vmem_limit_kib else None
+            if (cfg.scoped_vmem_limit_kib and on_tpu) else None
         ),
     )
 

@@ -34,6 +34,8 @@ def main():
                          "tunnel; use default device on a real TPU VM")
     ap.add_argument("--workdir", default="/tmp/full_scale_demo")
     ap.add_argument("--outdir", default="demo_results")
+    ap.add_argument("--patience", type=int, default=5,
+                    help="early-stopping patience (epochs)")
     ap.add_argument("--gelu", default="erf",
                     help="'erf' = reference parity; 'tanh'/'quick' run the "
                          "gate under the TPU perf formulations (artifact "
@@ -113,7 +115,7 @@ def main():
         n_trials=8, stride=4,
         dropout=0.2, attention_dropout=0.1, drop_path=0.1,
         use_cosine_schedule=True, warmup_epochs=3,
-        early_stopping_patience=5, checkpoint_metric="val_auc",
+        early_stopping_patience=args.patience, checkpoint_metric="val_auc",
         gelu=args.gelu,
         # Production T=488 → N=1953 tokens: remat keeps activation HBM at
         # ~O(layers × block-input) so the device-resident dataset plus

@@ -232,3 +232,13 @@ def test_hptune_cli_and_config():
     assert cfg.early_stopping_patience == 5
     assert cfg.dropout == 0.3
     assert cfg.train_paths == ["/x/t.parquet"]
+    # TPU perf knobs default to reference-parity values...
+    assert cfg.gelu == "erf" and cfg.scoped_vmem_limit_kib is None
+    # ...and plumb through when set.
+    args = parse_args([
+        "--train_path", "/x/t.parquet", "--val_path", "/x/v.parquet",
+        "--test_path", "/x/s.parquet", "--output_dir", "/tmp/o",
+        "--gelu", "quick", "--scoped_vmem_limit_kib", "26624",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.gelu == "quick" and cfg.scoped_vmem_limit_kib == 26624

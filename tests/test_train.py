@@ -115,6 +115,9 @@ def test_end_to_end_training_tiny(prepared_splits):
         compute_dtype="float32",
         use_flash_attention=False,
         experiment_name=None,
+        # TPU-only compile option: must be silently dropped on the CPU
+        # backend (the CPU compiler rejects xla_tpu_* options).
+        scoped_vmem_limit_kib=26624,
     )
     results = train(cfg)
 
