@@ -79,12 +79,16 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
     # plateau 20-28 MiB ≈ 1,590-1,600 v/s, cliff at 32 MiB (1,459) — see
     # docs/ROOFLINE.md. Sent per-compile (TPU-only XLA_FLAGS would abort
     # the local process over the remote backend).
+    # xla_tpu_* options only exist on the TPU compiler — drop the knob when
+    # the bench runs on CPU (e.g. dev box, wedged tunnel) so the JSON
+    # contract line still prints.
+    on_tpu = jax.default_backend() == "tpu"
     train_step, _ = make_step_fns(
         model, class_weights=np.array([0.9, 1.1], np.float32),
         label_smoothing=0.05,
         compiler_options=(
             {"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
-            if scoped_vmem_kib else None
+            if (scoped_vmem_kib and on_tpu) else None
         ),
     )
     key = jax.random.key(1, impl="rbg")  # hardware RNG for dropout masks

@@ -77,18 +77,16 @@ def multi_head_attention_qkv(
     b, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
-    if not (return_weights or not use_flash or not _on_tpu()):
+    use_flash = use_flash and not return_weights and _on_tpu()
+    if use_flash:
         from neural_vit_tpu.ops.flash_attention import (
             flash_attention_qkv,
             supported,
         )
 
-        if not supported(n, d):
-            # No VMEM block plan at this (N, D) — XLA attention below.
-            use_flash = False
-    if not (return_weights or not use_flash or not _on_tpu()):
-        from neural_vit_tpu.ops.flash_attention import flash_attention_qkv
-
+        # No VMEM block plan at this (N, D) → XLA attention below.
+        use_flash = supported(n, d)
+    if use_flash:
         out = flash_attention_qkv(
             qkv, n_heads=n_heads, scale=scale,
             dropout_rate=dropout_rate if not deterministic else 0.0,

@@ -43,6 +43,12 @@ def _build_exported(params, config: Temporal3DViTConfig,
     """Lower eval-mode apply with weights closed over (→ HLO constants)."""
     from neural_vit_tpu.models.vit import Temporal3DViT
 
+    # Force the XLA attention path: a portable multi-platform artifact can't
+    # carry the Pallas TPU kernel's Mosaic custom-call (no CPU lowering), and
+    # the pallas_call grid can't take the symbolic batch dimension anyway.
+    # XLA recompiles the StableHLO per target device, so TPU serving still
+    # gets fused attention from the compiler.
+    config = dataclasses.replace(config, use_flash_attention=False)
     model = Temporal3DViT(config)
     params = jax.device_get(params)  # bake host copies, not device buffers
 

@@ -56,13 +56,19 @@ def restore_checkpoint(
     path = f"{_abs(directory).rstrip('/')}/{name}"
     payload = read_json(f"{path}_config.json")
     extra = payload.pop("_extra", {})
-    payload.pop("_loop", None)  # full-state checkpoints restore params too
+    # Full-state checkpoints (save_train_checkpoint) store
+    # {params, opt_state, step}; slice out the params subtree so offline
+    # eval / serving export can consume a "latest" checkpoint too.
+    is_full_state = "_loop" in payload
+    payload.pop("_loop", None)
     config = Temporal3DViTConfig(**payload)
     with ocp.StandardCheckpointer() as ckptr:
-        if abstract_params is not None:
+        if abstract_params is not None and not is_full_state:
             params = ckptr.restore(path, abstract_params)
         else:
             params = ckptr.restore(path)
+    if is_full_state:
+        params = params["params"]
     return params, config, extra
 
 

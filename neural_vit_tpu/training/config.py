@@ -67,6 +67,10 @@ class TrainConfig:
     # moments, step counter, epoch, best-metric state, patience, and the
     # dropout seed. A params-only checkpoint (best/final) warm-starts.
     resume_from: Optional[str] = None
+    # Full-state saves move params + both AdamW moment trees to host
+    # (~3× param bytes, ≈170 MB for 'small') — sub-second on a TPU VM, but
+    # worth raising (or 0 ⇒ off) on slow transports where it would tax every
+    # epoch for runs that never get preempted.
     latest_checkpoint_every: int = 1  # 0 ⇒ no full-state checkpoints
 
     # --- TPU execution ---

@@ -67,8 +67,9 @@ class RunPaths:
         base = output_dir or "runs"
         return RunPaths(workdir=os.path.join(base, run_id), mirror=None)
 
-    @property
-    def metrics_file(self) -> str:
+    def new_metrics_file(self) -> str:
+        """Mint a fresh timestamped JSONL path (each call names a NEW file —
+        call once per sink, not per lookup)."""
         return os.path.join(
             self.workdir, "metrics", f"metrics_{_stamp()}_{os.getpid()}.jsonl"
         )
@@ -172,7 +173,7 @@ class VertexExperimentsSink:
 def _open_sinks(run_id: str, paths: RunPaths, *, project_id, location,
                 experiment_name, enable_vertex, enable_tensorboard) -> List:
     """Open whatever sinks the environment supports; JSONL always opens."""
-    sinks: List = [JsonlSink(paths.metrics_file)]
+    sinks: List = [JsonlSink(paths.new_metrics_file())]
     if enable_tensorboard:
         try:
             sinks.append(TensorBoardSink(paths.tb_dir(run_id)))

@@ -137,3 +137,39 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     a = model.apply({"params": params}, x)
     b = model.apply({"params": restored}, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_restore_checkpoint_slices_params_from_full_state(tmp_path):
+    """Offline eval / serving export pointed at a full-state 'latest'
+    checkpoint must get the params subtree, not {params, opt_state, step}."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neural_vit_tpu.core.config import Temporal3DViTConfig
+    from neural_vit_tpu.models.vit import Temporal3DViT
+    from neural_vit_tpu.training.checkpoint import (
+        restore_checkpoint,
+        save_train_checkpoint,
+    )
+    from neural_vit_tpu.training.loop import TrainState
+
+    cfg = Temporal3DViTConfig(
+        n_trials=4, freq_size=16, time_size=32, patch_trial=2, patch_freq=8,
+        patch_time=8, embed_dim=64, n_heads=2, n_layers=2,
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    model = Temporal3DViT(cfg)
+    x = jnp.zeros((1, 4, 16, 32))
+    params = model.init(jax.random.key(0), x)["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adamw(1e-3)
+    )
+    save_train_checkpoint(str(tmp_path), "latest", state, cfg,
+                          loop_state={"epoch": 2, "dropout_seed": 1})
+    restored, rcfg, _ = restore_checkpoint(str(tmp_path), "latest")
+    assert rcfg == cfg
+    assert set(restored.keys()) != {"params", "opt_state", "step"}
+    a = model.apply({"params": params}, x)
+    b = model.apply({"params": restored}, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

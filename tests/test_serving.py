@@ -78,6 +78,36 @@ def test_sidecar_describes_artifact(artifact):
     assert sidecar["model_config"]["embed_dim"] == 64
 
 
+def test_export_forces_xla_attention(tmp_path, monkeypatch, artifact):
+    """A flash-enabled config must export portably: the artifact can't carry
+    the Pallas kernel's Mosaic custom call (no CPU lowering) and the pallas
+    grid can't take the symbolic batch dim, so export rebuilds the model
+    with use_flash_attention=False (math is identical on both paths)."""
+    import neural_vit_tpu.models.vit as vit_mod
+
+    seen = []
+    real_model = vit_mod.Temporal3DViT
+
+    def spy(config):
+        seen.append(config)
+        return real_model(config)
+
+    monkeypatch.setattr(vit_mod, "Temporal3DViT", spy)
+
+    _, params, model = artifact
+    flash_cfg = CFG.replace(use_flash_attention=True)
+    path = str(tmp_path / "flash.nvx")
+    save_exported(path, params, flash_cfg, platforms=("cpu",))
+    assert seen and all(not c.use_flash_attention for c in seen)
+
+    served = load_exported(path)
+    x = np.zeros((2, CFG.n_trials, CFG.freq_size, CFG.time_size), np.float32)
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(x),
+                                  train=False))
+    np.testing.assert_allclose(np.asarray(served.predict(x)), want,
+                               atol=1e-5)
+
+
 def test_export_from_checkpoint(tmp_path, artifact):
     _, params, model = artifact
     save_checkpoint(str(tmp_path), "best", params, CFG)
