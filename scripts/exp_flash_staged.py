@@ -1,0 +1,332 @@
+"""EXPERIMENT: head-staged (software-pipelined) flash forward kernel.
+
+Hypothesis: the production fwd kernel (ops/flash_attention.py::_fwd_kernel)
+runs at ~42 TF/s against a ~98 TF/s Dh-halved ceiling, and the measured
+negative results say it is NOT VPU-op-count-bound — so the gap is
+scheduling: per head the kernel issues MXU (QKᵀ) → VPU (softmax+mask) →
+MXU (PV) serially, and if Mosaic schedules the unrolled 6-head block
+in order, the MXU idles during every VPU phase. This variant hoists head
+h+1's QKᵀ ahead of head h's VPU work so the scheduler has an independent
+MXU op to overlap. Costs one extra live (bq, n) f32 score plane (~1.3 MB
+VMEM at bench dims — the fwd stack has headroom).
+
+Run on CPU for numerics (interpreter), on the chip for timing:
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/exp_flash_staged.py \
+        --iters 50
+Parity gate: staged output must be bit-identical to production (same ops,
+same per-head order, only issue order differs).
+"""
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from neural_vit_tpu.ops.flash_attention import (
+    _LN2,
+    _LOG2E,
+    _PARALLEL_2D,
+    _col_mask,
+    _head_seed,
+    _keep_mask,
+    _maybe_pad,
+    _plan,
+    _qkv_specs,
+    _scaled,
+    flash_attention_qkv,
+)
+
+
+def _bwd_fused_kernel_staged(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                             do_ref, dqkv_ref, *, scale: float, n_heads: int,
+                             dh: int, n_valid: int, padded: bool,
+                             dropout_rate: float):
+    """Fused backward with head h+1's s2 matmul hoisted ahead of head h's
+    VPU work (one extra live (n, n) f32 plane)."""
+    b = pl.program_id(0)
+    d = n_heads * dh
+
+    def qk(h):
+        sl = slice(h * dh, (h + 1) * dh)
+        qs2 = _scaled(q_ref[0, :, sl], scale * _LOG2E)
+        return qs2, jax.lax.dot_general(
+            qs2, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    qs2_next, s2_next = qk(0)
+    for h in range(n_heads):
+        qs2, s2 = qs2_next, s2_next
+        if h + 1 < n_heads:
+            qs2_next, s2_next = qk(h + 1)
+        sl = slice(h * dh, (h + 1) * dh)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        o = o_ref[0, :, sl]
+        lse = jnp.transpose(lse_ref[0, h:h + 1, :])
+        p = jnp.exp2(s2 - lse * jnp.float32(_LOG2E))
+        if padded:
+            p = _col_mask(p, n_valid, 0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(
+                p.shape, dropout_rate,
+                _head_seed(seed_ref, b, h, n_heads), jnp.uint32(0),
+            )
+            inv = 1.0 / (1.0 - dropout_rate)
+            ds = p * (jnp.where(keep, dp, 0.0)
+                      - delta * (1.0 - dropout_rate))
+            pk = jnp.where(keep, p, 0.0)
+            dq_scale, dk_scale, dv_scale = scale * inv, inv / _LOG2E, inv
+        else:
+            ds = p * (dp - delta)
+            pk = p
+            dq_scale, dk_scale, dv_scale = scale, 1.0 / _LOG2E, 1.0
+        ds_c = ds.astype(qs2.dtype)
+        dqkv_ref[0, :, sl] = (jax.lax.dot_general(
+            ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * dq_scale).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, d + h * dh:d + (h + 1) * dh] = (jax.lax.dot_general(
+            ds_c, qs2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * dk_scale).astype(dqkv_ref.dtype)
+        dv = jax.lax.dot_general(
+            pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0:
+            dv = dv * dv_scale
+        dqkv_ref[0, :, 2 * d + h * dh:2 * d + (h + 1) * dh] = (
+            dv.astype(dqkv_ref.dtype)
+        )
+
+
+def staged_bwd_fused(qkv, out, lse, do, seed, *, n_heads, scale,
+                     dropout_rate, interpret):
+    bsz, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_proc, bq, bk, fused = _plan(n, d)
+    assert fused, "staged bwd experiment only covers the fused path"
+    qkv_p = _maybe_pad(qkv, n_proc)
+    do_p = _maybe_pad(do, n_proc)
+    out_p = _maybe_pad(out, n_proc)
+    q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=False)
+    row_spec = pl.BlockSpec((1, n_proc, d), lambda b, *_: (b, 0, 0))
+    lse_spec = pl.BlockSpec((1, n_heads, n_proc), lambda b, *_: (b, 0, 0))
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel_staged, scale=scale, n_heads=n_heads, dh=dh,
+            n_valid=n, padded=n_proc != n, dropout_rate=dropout_rate,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, 1),
+            in_specs=[q_spec, k_spec, v_spec, row_spec, lse_spec, row_spec],
+            out_specs=pl.BlockSpec(
+                (1, n_proc, 3 * d), lambda b, *_: (b, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n_proc, 3 * d), qkv.dtype),
+        compiler_params=_PARALLEL_2D,
+        interpret=interpret,
+    )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
+    return dqkv[:, :n] if n_proc != n else dqkv
+
+
+def _fwd_kernel_staged(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                       scale: float, n_heads: int, dh: int, n_valid: int,
+                       padded: bool, dropout_rate: float):
+    b = pl.program_id(0)
+    row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
+
+    def qk(h):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = _scaled(q_ref[0, :, sl], scale * _LOG2E)
+        k = k_ref[0, :, sl]
+        return jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    s2_next = qk(0)
+    for h in range(n_heads):
+        s2 = s2_next
+        if h + 1 < n_heads:
+            s2_next = qk(h + 1)  # MXU work independent of the VPU below
+        sl = slice(h * dh, (h + 1) * dh)
+        v = v_ref[0, :, sl]
+        m2 = jnp.max(s2, axis=-1, keepdims=True)
+        p = jnp.exp2(s2 - m2)
+        if padded:
+            p = _col_mask(p, n_valid, 0)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        lse = m2 * _LN2 + jnp.log(denom)
+        lse_ref[0, h:h + 1, :] = jnp.transpose(lse)
+        if dropout_rate > 0.0:
+            p = jnp.where(
+                _keep_mask(p.shape, dropout_rate,
+                           _head_seed(seed_ref, b, h, n_heads), row0),
+                p, 0.0,
+            )
+            denom = denom * (1.0 - dropout_rate)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (acc / denom).astype(o_ref.dtype)
+
+
+def staged_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
+    bsz, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    n_proc, bq, _, _ = _plan(n, d)
+    qkv_p = _maybe_pad(qkv, n_proc)
+    grid = (bsz, n_proc // bq)
+    q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=True)
+    kernel = functools.partial(
+        _fwd_kernel_staged, scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
+        padded=n_proc != n, dropout_rate=dropout_rate,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[q_spec, k_spec, v_spec],
+            out_specs=[
+                pl.BlockSpec((1, bq, d), lambda b, i, *_: (b, i, 0)),
+                pl.BlockSpec((1, n_heads, bq), lambda b, i, *_: (b, 0, i)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
+            jax.ShapeDtypeStruct((bsz, n_heads, n_proc), jnp.float32),
+        ],
+        compiler_params=_PARALLEL_2D,
+        interpret=interpret,
+    )(seed, qkv_p, qkv_p, qkv_p)
+    if n_proc != n:
+        out = out[:, :n]
+    return out, lse
+
+
+def _timed(jitted, x, iters):
+    jax.block_until_ready(jitted(x))
+    x2 = jax.block_until_ready(x * jnp.bfloat16(1.0078125))
+    t0 = time.perf_counter()
+    jax.block_until_ready(jitted(x2))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seq", type=int, default=513)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--dropout", type=float, default=0.1)
+    args = ap.parse_args()
+
+    b, n, d, h = args.batch, args.seq, args.dim, args.heads
+    dh = d // h
+    scale = dh ** -0.5
+    interpret = jax.default_backend() != "tpu"
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3 * d),
+                            jnp.bfloat16)
+    seed = jnp.array([12345], jnp.int32)
+
+    # --- parity: staged must be bit-identical to production -------------
+    from neural_vit_tpu.ops.flash_attention import _flash_bwd, _flash_fwd
+    small = qkv[:2]
+    do_small = jnp.ones_like(small[..., :d])
+    for rate in (0.0, args.dropout):
+        got, lse_s = staged_fwd(small, seed, n_heads=h, scale=scale,
+                                dropout_rate=rate, interpret=interpret)
+        want, lse_p = _flash_fwd(small, seed, n_heads=h, scale=scale,
+                                 dropout_rate=rate, interpret=interpret)
+        assert jnp.array_equal(got, want), f"output mismatch at rate={rate}"
+        assert jnp.array_equal(lse_s, lse_p), f"lse mismatch at rate={rate}"
+        bgot = staged_bwd_fused(small, want, lse_p, do_small, seed,
+                                n_heads=h, scale=scale, dropout_rate=rate,
+                                interpret=interpret)
+        bwant = _flash_bwd(small, want, lse_p, do_small, seed, n_heads=h,
+                           scale=scale, dropout_rate=rate,
+                           interpret=interpret)
+        assert jnp.array_equal(bgot, bwant), f"bwd mismatch at rate={rate}"
+        print(f"parity ok fwd+bwd (rate={rate})", flush=True)
+
+    if interpret:
+        print("CPU interpreter — numerics only, no timing.")
+        return
+
+    # --- timing (perf_flash measurement rules) --------------------------
+    fwd_fl = 2 * 2 * n * n * dh * h * b
+
+    def glue(x, y):
+        s = jnp.mean(y.astype(jnp.float32)) * 1e-6
+        return x + s.astype(x.dtype)
+
+    def loop(step):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(
+                0, args.iters, lambda i, xx: glue(xx, step(xx)), x)
+        return run
+
+    t_base = _timed(loop(lambda x: x[..., :d]), qkv, args.iters)
+    print(f"glue baseline: {t_base*1e3:.3f} ms/iter", flush=True)
+
+    bwd_fl = 5 * 2 * n * n * dh * h * b
+    out_full, lse_full = _flash_fwd(qkv, seed, n_heads=h, scale=scale,
+                                    dropout_rate=args.dropout,
+                                    interpret=False)
+    do_full = jax.random.normal(jax.random.PRNGKey(2), (b, n, d),
+                                jnp.bfloat16)
+
+    for rate in (0.0, args.dropout):
+        prod = loop(lambda x, r=rate: flash_attention_qkv(
+            x, n_heads=h, scale=scale, dropout_rate=r,
+            dropout_rng=jax.random.PRNGKey(1)))
+        stag = loop(lambda x, r=rate: staged_fwd(
+            x, seed, n_heads=h, scale=scale, dropout_rate=r,
+            interpret=False)[0])
+        t_p = _timed(prod, qkv, args.iters) - t_base
+        t_s = _timed(stag, qkv, args.iters) - t_base
+        print(
+            f"rate={rate}: production fwd {t_p*1e3:7.3f} ms "
+            f"({fwd_fl/t_p/1e12:5.1f} TF/s)   staged fwd {t_s*1e3:7.3f} ms "
+            f"({fwd_fl/t_s/1e12:5.1f} TF/s)   delta {100*(t_p-t_s)/t_p:+.1f}%",
+            flush=True,
+        )
+        bprod = loop(lambda x, r=rate: _flash_bwd(
+            x, out_full, lse_full, do_full, seed, n_heads=h, scale=scale,
+            dropout_rate=r, interpret=False)[..., :d])
+        bstag = loop(lambda x, r=rate: staged_bwd_fused(
+            x, out_full, lse_full, do_full, seed, n_heads=h, scale=scale,
+            dropout_rate=r, interpret=False)[..., :d])
+        t_bp = _timed(bprod, qkv, args.iters) - t_base
+        t_bs = _timed(bstag, qkv, args.iters) - t_base
+        print(
+            f"rate={rate}: production bwd {t_bp*1e3:7.3f} ms "
+            f"({bwd_fl/t_bp/1e12:5.1f} TF/s)   staged bwd {t_bs*1e3:7.3f} ms "
+            f"({bwd_fl/t_bs/1e12:5.1f} TF/s)   "
+            f"delta {100*(t_bp-t_bs)/t_bp:+.1f}%",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

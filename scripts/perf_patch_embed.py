@@ -11,6 +11,15 @@ patch embed is the first layer):
   B  cast to bf16 BEFORE the transpose (halves transpose HBM traffic)
   C  lax.dot_general with 3 contracting dims, no explicit transpose
   D  conv_general_dilated kernel=stride (the reference's Conv3d form)
+  E  loader stores each trial pre-tiled as (GF, GT, PF·PT): the per-step
+     shuffle moves 64-element (128-byte) contiguous chunks instead of
+     pt=8 strides; the one-time tiling happens at dataset load
+  F  loader additionally pre-pairs trials (valid when stride % PK == 0 —
+     the default stride=4, PK=2): stored rows are (GF, GT, PK·PF·PT=128)
+     pair-tiles, a window gathers K/PK pair rows, and the patch embed is
+     reshape + Dense — ZERO per-step transpose
+Patch-vector element order is (pk, pf, pt) in all variants, so the same
+Dense weights apply — E/F are loader-layout changes, not model changes.
 
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/perf_patch_embed.py
 (`--cpu` forces the CPU backend for a correctness-only run; the
@@ -39,7 +48,10 @@ NP_, PD = GK * GF * GT, PK * PF * PT
 def timed(fn, x, w, steps=30, warm=5):
     """Scalar-fetch fenced timing with input mutation (the remote executor
     memoizes identical dispatches; block_until_ready is not a fence)."""
-    eps = jnp.asarray(1e-6, x.dtype)
+    # eps must survive the input dtype's rounding or every "mutated" input
+    # is bit-identical and the remote executor memoizes the dispatch:
+    # bf16 needs >=2^-8 against O(1) values.
+    eps = jnp.asarray(1e-6 if x.dtype == jnp.float32 else 2.0 ** -7, x.dtype)
     out = fn(x, w)
     float(jnp.sum(out))
     for _ in range(warm):
@@ -84,9 +96,36 @@ def main():
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
         return y.reshape(B, D, NP_).transpose(0, 2, 1)
 
-    variants = dict(A=embed_a, B=embed_b, C=embed_c, D=embed_d)
+    # E: per-trial tiled storage (B, K, GF, GT, PF·PT), bf16 — the one-time
+    # tiling below is the load-time op, NOT charged to the step.
+    x_tiled = (
+        x.astype(jnp.bfloat16)
+        .reshape(B, K, GF, PF, GT, PT)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(B, K, GF, GT, PF * PT)
+    )
+
+    def embed_e(xt, w):
+        p = xt.reshape(B, GK, PK, GF, GT, PF * PT)
+        p = p.transpose(0, 1, 3, 4, 2, 5).reshape(B, NP_, PD)
+        return jnp.dot(p, w.astype(jnp.bfloat16))
+
+    # F: pair-tiled storage (B, GK, GF, GT, PK·PF·PT) — gather returns
+    # pair rows; the embed is a bare reshape + matmul.
+    x_pair = (
+        x.astype(jnp.bfloat16)
+        .reshape(B, GK, PK, GF, PF, GT, PT)
+        .transpose(0, 1, 3, 5, 2, 4, 6)
+        .reshape(B, GK, GF, GT, PD)
+    )
+
+    def embed_f(xp, w):
+        return jnp.dot(xp.reshape(B, NP_, PD), w.astype(jnp.bfloat16))
+
+    variants = dict(A=(embed_a, x), B=(embed_b, x), C=(embed_c, x),
+                    D=(embed_d, x), E=(embed_e, x_tiled), F=(embed_f, x_pair))
     ref = None
-    for name, fn in variants.items():
+    for name, (fn, x) in variants.items():
         fwd = jax.jit(fn)
         out = np.asarray(fwd(x, w), np.float32)
         if ref is None:
