@@ -53,6 +53,18 @@ class DataLoaderConfig:
     chunk_rows: int = 2048
     max_cached_rows: int = 16384
     prefetch: bool = True
+    # (patch_trial, patch_freq, patch_time) switches device-resident batches
+    # to the PRE-TILED patch layout (B, K/pk, F', T', pk·pf·pt): spectrogram
+    # rows are tiled/paired ONCE at load (bf16, halving HBM residency) and
+    # the model's per-step 7-D patchify transpose disappears — the patch
+    # embed becomes reshape + matmul. Must match the model config's patch
+    # dims; logits are bit-identical to the volume layout (the model casts
+    # to bf16 before its transpose anyway). Device-resident mode only.
+    tile_patches: Optional[Tuple[int, int, int]] = None
+    # Storage dtype of the tiles — match the model's compute_dtype for
+    # bit-identical logits (bf16 also halves HBM residency; set "float32"
+    # for f32-compute models).
+    tile_dtype: str = "bfloat16"
 
 
 def _cell_to_array(cell) -> np.ndarray:
@@ -75,6 +87,8 @@ class SpectrogramDataset:
         self.specs = specs
         self.index = index
         self._device_specs = None
+        self._pair_view = None      # ((pk, pf, pt), tiles, pair_index)
+        self._device_tiles = None
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -161,8 +175,69 @@ class SpectrogramDataset:
         """Rows of the dense spectrogram array (any shape of `rows`)."""
         return self.specs[rows]
 
+    # -- pre-tiled patch storage ---------------------------------------------
+    def pair_tile_view(
+        self, patch_trial: int, patch_freq: int, patch_time: int,
+        dtype: str = "bfloat16",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(tiles, window_index) for the pre-tiled patch layout.
+
+        Each spectrogram row is tiled once into (F', T', pf·pt) blocks, and
+        the window index's consecutive `patch_trial`-groups of rows become
+        rows of a deduplicated tile array (bf16) whose last axis is the full
+        patch vector in the model's (pk, pf, pt) element order. Batches
+        gathered with `window_index` are (B, K/pk, F', T', pk·pf·pt) — the
+        model consumes them with ZERO per-step patchify transpose.
+
+        Tile rows are deduplicated across windows: with the default
+        stride=4 / pk=2 every window shares its trial pairs with its
+        overlapping neighbours, so the tile array holds each pair once
+        (≈ the same bytes as the f32 volume array, halved by bf16)."""
+        import ml_dtypes
+
+        np_dtype = (
+            ml_dtypes.bfloat16 if dtype == "bfloat16" else np.dtype(dtype)
+        )
+        key = (patch_trial, patch_freq, patch_time, dtype)
+        if self._pair_view is not None and self._pair_view[0] == key:
+            return self._pair_view[1], self._pair_view[2]
+        pk, pf, pt = patch_trial, patch_freq, patch_time
+        n, f, t = self.specs.shape
+        if f % pf or t % pt:
+            raise ValueError(f"({f}, {t}) not divisible by patches ({pf}, {pt})")
+        k = self.index.indices.shape[1]
+        if k % pk:
+            raise ValueError(f"n_trials {k} not divisible by patch_trial {pk}")
+        gf, gt = f // pf, t // pt
+
+        groups = self.index.indices.reshape(-1, pk)        # (n_seq·K/pk, pk)
+        pairs, inverse = np.unique(groups, axis=0, return_inverse=True)
+        window_index = inverse.reshape(-1, k // pk).astype(np.int32)
+
+        tiles_per_row = (
+            self.specs.reshape(n, gf, pf, gt, pt)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n, gf, gt, pf * pt)
+            .astype(np_dtype)
+        )
+        # (n_pairs, gf, gt, pk·pf·pt), patch-vector order (pk, pf, pt).
+        tiles = np.concatenate(
+            [tiles_per_row[pairs[:, i]] for i in range(pk)], axis=-1
+        )
+        self._pair_view = (key, tiles, window_index)
+        return tiles, window_index
+
     # -- device residency ---------------------------------------------------
-    def to_device(self, sharding=None) -> jax.Array:
+    def to_device(self, sharding=None, tile_patches=None,
+                  tile_dtype: str = "bfloat16") -> jax.Array:
+        if tile_patches is not None:
+            if self._device_tiles is None:
+                tiles, _ = self.pair_tile_view(*tile_patches, dtype=tile_dtype)
+                self._device_tiles = (
+                    jax.device_put(tiles, sharding)
+                    if sharding is not None else jnp.asarray(tiles)
+                )
+            return self._device_tiles
         if self._device_specs is None:
             self._device_specs = (
                 jax.device_put(self.specs, sharding)
@@ -313,11 +388,13 @@ def _pad_batch(idx: np.ndarray, labels: np.ndarray, batch_size: int):
 
 
 class BatchIterator:
-    """Epoch iterator yielding (volumes (B,K,F,T), labels (B,), valid (B,)).
+    """Epoch iterator yielding (volumes, labels (B,), valid (B,)).
 
-    In device-resident mode the gather runs jitted on device; otherwise a
-    contiguous host gather feeds `device_put` (with `batch_sharding` when
-    training data-parallel).
+    Volumes are (B, K, F, T), or (B, K/pk, F', T', pk·pf·pt) pre-tiled
+    patches when `cfg.tile_patches` is set (device-resident only — the
+    model consumes either layout). In device-resident mode the gather runs
+    jitted on device; otherwise a contiguous host gather feeds `device_put`
+    (with `batch_sharding` when training data-parallel).
     """
 
     def __init__(
@@ -336,6 +413,17 @@ class BatchIterator:
         self._device_resident = (
             cfg.device_resident and hasattr(dataset, "to_device")
         )
+        self._window_indices = dataset.index.indices
+        tile = cfg.tile_patches
+        if tile is not None:
+            if not (self._device_resident and hasattr(dataset, "pair_tile_view")):
+                raise ValueError(
+                    "tile_patches requires a device-resident SpectrogramDataset"
+                    " (streaming/host modes keep the volume layout)"
+                )
+            _, self._window_indices = self.ds.pair_tile_view(
+                *tile, dtype=cfg.tile_dtype
+            )
         if self._device_resident:
             # Replicate the dense spectrogram array across the mesh once;
             # each batch gather lands already sharded over the data axis.
@@ -347,10 +435,14 @@ class BatchIterator:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 rep = NamedSharding(batch_sharding.mesh, PartitionSpec())
-                specs = self.ds.to_device(rep)
+                specs = self.ds.to_device(
+                    rep, tile_patches=tile, tile_dtype=cfg.tile_dtype
+                )
                 gather = jax.jit(take, out_shardings=batch_sharding)
             else:
-                specs = self.ds.to_device()
+                specs = self.ds.to_device(
+                    tile_patches=tile, tile_dtype=cfg.tile_dtype
+                )
                 gather = jax.jit(take)
             self._gather = lambda idx: gather(specs, idx)
 
@@ -367,7 +459,7 @@ class BatchIterator:
     def _host_batch(self, sel: np.ndarray):
         """Assemble one padded host batch (CPU-side work only — safe to run
         on the prefetch thread)."""
-        idx = self.ds.index.indices[sel]
+        idx = self._window_indices[sel]
         labels = self.ds.index.labels[sel]
         idx, labels, mask = _pad_batch(idx, labels, self.cfg.batch_size)
         if self._device_resident:

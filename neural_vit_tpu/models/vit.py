@@ -252,7 +252,13 @@ class Temporal3DViT(nn.Module):
         store_attention: bool = False,
     ) -> jax.Array:
         """Args:
-            x: (B, K, F, T) or (B, 1, K, F, T) spectrogram volumes.
+            x: (B, K, F, T) or (B, 1, K, F, T) spectrogram volumes — or
+                pre-tiled patches (B, K', F', T', patch_dim) as produced by
+                the loader's pair-tile storage mode (`loader.pair_tiles`):
+                the per-step patchify transpose then disappears entirely
+                (the tiling happened once at dataset load). Patch-vector
+                element order is (pk, pf, pt) in both layouts, so the same
+                `patch_embed` weights apply and logits are bit-identical.
             train: enables dropout/drop-path (requires 'dropout' rng).
             store_attention: sow per-layer softmax maps into 'intermediates'
                 (forces the XLA attention path).
@@ -265,11 +271,18 @@ class Temporal3DViT(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         pdtype = jnp.dtype(cfg.param_dtype)
 
-        if x.ndim == 5:  # (B, 1, K, F, T) → (B, K, F, T)
-            x = x[:, 0]
-        b = x.shape[0]
         gk, gf, gt = cfg.grid_k, cfg.grid_f, cfg.grid_t
         pk, pf, pt = cfg.patch_trial, cfg.patch_freq, cfg.patch_time
+        tiled_shape = (gk, gf, gt, cfg.patch_dim)
+        pre_tiled = x.ndim == 5 and x.shape[1:] == tiled_shape
+        if x.ndim == 5 and not pre_tiled:  # (B, 1, K, F, T) → (B, K, F, T)
+            if x.shape[1] != 1:
+                raise ValueError(
+                    f"5-D input {x.shape[1:]} is neither (1, K, F, T) nor "
+                    f"the pre-tiled patch layout {tiled_shape}"
+                )
+            x = x[:, 0]
+        b = x.shape[0]
 
         # Patch embedding: reshape to per-patch vectors + one Dense. The
         # (pk, pf, pt) ordering matches Conv3d's kernel layout so checkpoints
@@ -277,11 +290,15 @@ class Temporal3DViT(nn.Module):
         # compute dtype BEFORE the 7-D transpose: the Dense rounds its input
         # to bf16 anyway, and moving the cast ahead of the shuffle halves its
         # HBM traffic (measured 2.83 → 1.32 ms at bench dims, bit-identical
-        # output; scripts/perf_patch_embed.py).
-        x = x.astype(dtype).reshape(b, gk, pk, gf, pf, gt, pt)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
-            b, cfg.n_patches, cfg.patch_dim
-        )
+        # output; scripts/perf_patch_embed.py). Pre-tiled input skips the
+        # transpose altogether — the embed is a bare reshape + matmul.
+        if pre_tiled:
+            x = x.astype(dtype).reshape(b, cfg.n_patches, cfg.patch_dim)
+        else:
+            x = x.astype(dtype).reshape(b, gk, pk, gf, pf, gt, pt)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6).reshape(
+                b, cfg.n_patches, cfg.patch_dim
+            )
         x = nn.Dense(
             cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
             param_dtype=pdtype, name="patch_embed",

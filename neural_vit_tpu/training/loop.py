@@ -239,6 +239,14 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
         freq_size, time_size = infer_input_dims(train_ds)
     model_config = build_model_config(cfg, freq_size, time_size)
     model = Temporal3DViT(model_config)
+    if cfg.loader.tile_patches is not None:
+        want = (model_config.patch_trial, model_config.patch_freq,
+                model_config.patch_time)
+        if tuple(cfg.loader.tile_patches) != want:
+            raise ValueError(
+                f"loader.tile_patches {cfg.loader.tile_patches} must match "
+                f"the model's patch dims {want}"
+            )
 
     # Class-weighted CE from train-split counts (train.py:157-170).
     counts = np.bincount(train_ds.labels, minlength=model_config.n_classes)

@@ -362,6 +362,69 @@ def test_host_mode_matches_device_mode(pipeline_dirs):
         np.testing.assert_array_equal(ma, mb)
 
 
+def test_pair_tiled_batches_match_volume_layout(pipeline_dirs):
+    """tile_patches batches must carry exactly the volume batches' data in
+    the model's (pk, pf, pt) patch-vector order, and the model must produce
+    BIT-IDENTICAL logits from either layout (bf16 tiles + bf16 compute —
+    the production configuration)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_vit_tpu.core.config import Temporal3DViTConfig
+    from neural_vit_tpu.models.vit import Temporal3DViT
+
+    _, out, _, _ = pipeline_dirs
+    ds = SpectrogramDataset.from_parquet([out["val"]], n_trials=4, stride=2)
+    it_vol = BatchIterator(
+        ds, DataLoaderConfig(batch_size=4), shuffle=False
+    )
+    it_tile = BatchIterator(
+        ds, DataLoaderConfig(batch_size=4, tile_patches=(2, 8, 8)),
+        shuffle=False,
+    )
+    cfg = Temporal3DViTConfig(
+        n_trials=4, freq_size=64, time_size=488, patch_trial=2, patch_freq=8,
+        patch_time=8, embed_dim=64, n_heads=2, n_layers=2,
+        compute_dtype="bfloat16", use_flash_attention=False,
+    )
+    model = Temporal3DViT(cfg)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 4, 64, 488))
+    )["params"]
+    checked = 0
+    for (v, lv, mv), (t, lt, mt) in zip(it_vol, it_tile):
+        assert t.shape == (4, 2, 8, 61, 128) and t.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(np.asarray(lv), np.asarray(lt))
+        np.testing.assert_array_equal(mv, mt)
+        # Layout equivalence: re-tile the volume batch by hand.
+        want = (
+            np.asarray(v)
+            .reshape(4, 2, 2, 8, 8, 61, 8)
+            .transpose(0, 1, 3, 5, 2, 4, 6)
+            .reshape(4, 2, 8, 61, 128)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t, np.float32),
+            want.astype(jnp.bfloat16).astype(np.float32),
+        )
+        a = model.apply({"params": params}, v)
+        b = model.apply({"params": params}, t)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        checked += 1
+    assert checked == len(it_vol) == len(it_tile)
+
+
+def test_tile_patches_rejects_non_resident_modes(pipeline_dirs):
+    _, out, _, _ = pipeline_dirs
+    ds = SpectrogramDataset.from_parquet([out["val"]], n_trials=4, stride=2)
+    with pytest.raises(ValueError, match="device-resident"):
+        BatchIterator(
+            ds,
+            DataLoaderConfig(tile_patches=(2, 8, 8), device_resident=False),
+            shuffle=False,
+        )
+
+
 def test_sequence_getitem_matches_reference_semantics(pipeline_dirs):
     _, out, _, _ = pipeline_dirs
     ds = SpectrogramDataset.from_parquet([out["test"]], n_trials=4, stride=2)
