@@ -48,7 +48,8 @@ def log(*a):
 
 
 def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
-                           gelu: str = "quick", scoped_vmem_kib: int = 26624):
+                           gelu: str = "quick", scoped_vmem_kib: int = 26624,
+                           tiled: bool = False):
     # batch 128 is the measured best single-chip operating point
     # (sweep, r2: 64→1345, 96→1394, 128→1456, 192→1278, 256→1409 v/s);
     # under data parallelism the global batch is per-chip × n_chips, so
@@ -66,6 +67,19 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
         rng.standard_normal((batch, cfg.n_trials, cfg.freq_size, cfg.time_size)),
         jnp.float32,
     )
+    if tiled:
+        # The loader's pre-tiled pair layout (DataLoaderConfig.tile_patches):
+        # batches arrive as bf16 (B, K/pk, F', T', pk·pf·pt) patch tiles and
+        # the model's per-step patchify transpose disappears.
+        x = jnp.asarray(
+            np.asarray(x)
+            .reshape(batch, cfg.grid_k, cfg.patch_trial, cfg.grid_f,
+                     cfg.patch_freq, cfg.grid_t, cfg.patch_time)
+            .transpose(0, 1, 3, 5, 2, 4, 6)
+            .reshape(batch, cfg.grid_k, cfg.grid_f, cfg.grid_t,
+                     cfg.patch_dim),
+            jnp.bfloat16,
+        )
     y = jnp.asarray(rng.integers(0, 2, batch))
     mask = jnp.ones(batch, jnp.float32)
 
