@@ -236,11 +236,26 @@ def bench_preprocess_throughput(batch: int = 2048, chain: int = 50):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--tiled", action="store_true",
+                    help="feed the loader's pre-tiled bf16 patch layout "
+                         "(DataLoaderConfig.tile_patches) instead of raw "
+                         "(B, K, F, T) volumes")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--gelu", default="quick", choices=["quick", "tanh", "erf"])
+    ap.add_argument("--train-only", action="store_true",
+                    help="skip the preprocess/inference stderr diagnostics")
+    args = ap.parse_args()
+
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     # Contract metric FIRST: the tunneled device occasionally wedges
     # mid-session, and a hang inside a stderr-only diagnostic must not
     # block the one JSON line the driver consumes.
-    value = bench_train_throughput()
+    value = bench_train_throughput(
+        batch=args.batch, gelu=args.gelu, tiled=args.tiled
+    )
     target = 5000.0
     print(json.dumps({
         "metric": "train_throughput_small_vit_fwd_bwd",
@@ -248,6 +263,8 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(value / target, 3),
     }), flush=True)
+    if args.train_only:
+        return
     try:
         bench_preprocess_throughput()
     except Exception as exc:  # diagnostics only — never break the JSON line
