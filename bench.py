@@ -244,7 +244,11 @@ def main():
                          "(DataLoaderConfig.tile_patches) instead of raw "
                          "(B, K, F, T) volumes")
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--gelu", default="quick", choices=["quick", "tanh", "erf"])
+    ap.add_argument("--vmem-kib", type=int, default=26624,
+                    help="xla_tpu_scoped_vmem_limit_kib (0 = compiler "
+                         "default; re-sweep after layout changes)")
     ap.add_argument("--train-only", action="store_true",
                     help="skip the preprocess/inference stderr diagnostics")
     args = ap.parse_args()
@@ -254,7 +258,8 @@ def main():
     # mid-session, and a hang inside a stderr-only diagnostic must not
     # block the one JSON line the driver consumes.
     value = bench_train_throughput(
-        batch=args.batch, gelu=args.gelu, tiled=args.tiled
+        batch=args.batch, steps=args.steps, gelu=args.gelu,
+        scoped_vmem_kib=args.vmem_kib, tiled=args.tiled,
     )
     target = 5000.0
     print(json.dumps({
