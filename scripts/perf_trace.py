@@ -22,10 +22,20 @@ from neural_vit_tpu.training.loop import TrainState, make_step_fns
 BATCH = 256
 
 
-def build(cfg, batch=BATCH):
+def build(cfg, batch=BATCH, tiled=False, vmem_kib=0):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(
         (batch, cfg.n_trials, cfg.freq_size, cfg.time_size)), jnp.float32)
+    if tiled:
+        # the loader's pre-tiled pair layout (DataLoaderConfig.tile_patches)
+        x = jnp.asarray(
+            np.asarray(x)
+            .reshape(batch, cfg.grid_k, cfg.patch_trial, cfg.grid_f,
+                     cfg.patch_freq, cfg.grid_t, cfg.patch_time)
+            .transpose(0, 1, 3, 5, 2, 4, 6)
+            .reshape(batch, cfg.grid_k, cfg.grid_f, cfg.grid_t, cfg.patch_dim),
+            jnp.bfloat16,
+        )
     y = jnp.asarray(rng.integers(0, 2, batch))
     mask = jnp.ones(batch, jnp.float32)
     key = jax.random.key(1, impl="rbg")
@@ -34,7 +44,10 @@ def build(cfg, batch=BATCH):
     tx = optax.adamw(3e-4, weight_decay=0.01)
     state = TrainState.create(apply_fn=model.apply,
                               params=variables["params"], tx=tx)
-    ts, _ = make_step_fns(model, np.array([0.9, 1.1], np.float32), 0.05)
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)}
+            if vmem_kib and jax.default_backend() == "tpu" else None)
+    ts, _ = make_step_fns(model, np.array([0.9, 1.1], np.float32), 0.05,
+                          compiler_options=opts)
     return ts, state, (x, y, mask, key)
 
 
@@ -48,13 +61,19 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=BATCH)
     ap.add_argument("--logdir", default="/tmp/jaxtrace")
+    ap.add_argument("--tiled", action="store_true",
+                    help="pre-tiled pair-layout input (loader tile_patches)")
+    ap.add_argument("--vmem-kib", type=int, default=0,
+                    help="xla_tpu_scoped_vmem_limit_kib (0 = default)")
     args = ap.parse_args()
 
     cfg = CONFIGS["small"].replace(
         dropout=args.dropout, attention_dropout=args.attn_dropout,
         drop_path=args.drop_path, gelu=args.gelu, norm_dtype=args.norm_dtype,
     )
-    ts, state, (x, y, mask, key) = build(cfg, args.batch)
+    ts, state, (x, y, mask, key) = build(
+        cfg, args.batch, tiled=args.tiled, vmem_kib=args.vmem_kib
+    )
     t0 = time.perf_counter()
     state, m = ts(state, x, y, mask, key)
     jax.block_until_ready(m["loss_sum"])
