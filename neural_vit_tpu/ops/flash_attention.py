@@ -147,17 +147,35 @@ def _col_mask(p, n_valid: int, col0):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 scale: float, n_heads: int, dh: int, n_valid: int,
-                padded: bool, dropout_rate: float):
+                padded: bool, dropout_rate: float, staged: bool):
     b = pl.program_id(0)
     row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
-    for h in range(n_heads):
+
+    def qk(h):
         sl = slice(h * dh, (h + 1) * dh)
-        q = _scaled(q_ref[0, :, sl], scale * _LOG2E)   # (bq, dh)
-        k = k_ref[0, :, sl]                             # (nk, dh)
+        q = _scaled(q_ref[0, :, sl], scale * _LOG2E)    # (bq, dh)
+        return jax.lax.dot_general(                     # s·log2e: (bq, nk)
+            q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Software pipelining across the unrolled head loop: issue head h+1's
+    # QKᵀ (MXU) before head h's softmax/mask (VPU) so the scheduler always
+    # has an independent MXU op to overlap with VPU phases — measured
+    # kernel-isolated +10.9% with dropout, +15.2% without, bit-identical
+    # output (the issue order changes, the per-head math does not). Costs
+    # one extra live (bq, nk) f32 plane, so the driver enables it only
+    # when that plane fits the VMEM stack budget (_staged_ok).
+    s2_next = qk(0) if staged else None
+    for h in range(n_heads):
+        if staged:
+            s2 = s2_next
+            if h + 1 < n_heads:
+                s2_next = qk(h + 1)
+        else:
+            s2 = qk(h)
+        sl = slice(h * dh, (h + 1) * dh)
         v = v_ref[0, :, sl]
-        s2 = jax.lax.dot_general(                       # s·log2e
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )                                               # (bq, nk)
         m2 = jnp.max(s2, axis=-1, keepdims=True)
         p = jnp.exp2(s2 - m2)                           # == exp(s - m)
         if padded:
@@ -186,22 +204,36 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                       dqkv_ref, *, scale: float, n_heads: int,
                       dh: int, n_valid: int, padded: bool,
-                      dropout_rate: float):
+                      dropout_rate: float, staged: bool):
     b = pl.program_id(0)
     d = n_heads * dh
-    for h in range(n_heads):
+
+    def qk(h):
         sl = slice(h * dh, (h + 1) * dh)
-        q = q_ref[0, :, sl]
+        qs2 = _scaled(q_ref[0, :, sl], scale * _LOG2E)
+        return qs2, jax.lax.dot_general(
+            qs2, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Same software pipelining as _fwd_kernel: head h+1's QKᵀ issues ahead
+    # of head h's VPU work (measured +1.2-1.5% kernel-isolated,
+    # bit-identical); one extra live (n, n) f32 plane, driver-gated.
+    if staged:
+        qs2_next, s2_next = qk(0)
+    for h in range(n_heads):
+        if staged:
+            qs2, s2 = qs2_next, s2_next
+            if h + 1 < n_heads:
+                qs2_next, s2_next = qk(h + 1)
+        else:
+            qs2, s2 = qk(h)
+        sl = slice(h * dh, (h + 1) * dh)
         k = k_ref[0, :, sl]
         v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]                           # (n, dh)
         o = o_ref[0, :, sl]
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
-        qs2 = _scaled(q, scale * _LOG2E)
-        s2 = jax.lax.dot_general(
-            qs2, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         p = jnp.exp2(s2 - lse * jnp.float32(_LOG2E))    # exact softmax probs
         if padded:
             p = _col_mask(p, n_valid, 0)
@@ -227,7 +259,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             ds = p * (dp - delta)
             pk = p
             dq_scale, dk_scale, dv_scale = scale, 1.0 / _LOG2E, 1.0
-        ds_c = ds.astype(q.dtype)
+        ds_c = ds.astype(qs2.dtype)
         dqkv_ref[0, :, sl] = (jax.lax.dot_general(
             ds_c, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -416,6 +448,15 @@ def _plan(n: int, d: int) -> tuple:
     )
 
 
+def _staged_ok(bq: int, n: int, d: int, kind: str) -> bool:
+    """Head-staged issue order keeps ONE extra (bq, n) f32 score plane live
+    (head h+1's QKᵀ while head h's VPU work runs). Enable it only when that
+    plane still fits the stack budget — at long sequences the block plan is
+    already at the ceiling and staging would overflow Mosaic's stack."""
+    extra = bq * _ceil_to(n, 128) * 4.0
+    return _stack_bytes(bq, n, d, kind) + extra <= _VMEM_BUDGET
+
+
 def supported(n: int, d: int) -> bool:
     """True iff a VMEM block plan exists for (sequence, embed) = (n, d)."""
     try:
@@ -467,6 +508,7 @@ def _flash_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
         padded=n_proc != n, dropout_rate=dropout_rate,
+        staged=_staged_ok(bq, n_proc, d, "fwd"),
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -510,7 +552,8 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
         row_spec = pl.BlockSpec((1, n_proc, d), lambda b, *_: (b, 0, 0))
         lse_spec = pl.BlockSpec((1, n_heads, n_proc), lambda b, *_: (b, 0, 0))
         dqkv = pl.pallas_call(
-            functools.partial(_bwd_fused_kernel, **common),
+            functools.partial(_bwd_fused_kernel, **common,
+                              staged=_staged_ok(n_proc, n_proc, d, "fused")),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(bsz, 1),
