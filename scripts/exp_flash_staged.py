@@ -147,7 +147,7 @@ def staged_bwd_fused(qkv, out, lse, do, seed, *, n_heads, scale,
 
 def _fwd_kernel_staged(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                        scale: float, n_heads: int, dh: int, n_valid: int,
-                       padded: bool, dropout_rate: float):
+                       padded: bool, dropout_rate: float, depth: int = 1):
     b = pl.program_id(0)
     row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
 
@@ -159,11 +159,13 @@ def _fwd_kernel_staged(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    s2_next = qk(0)
+    # depth-deep software pipeline: keep `depth` future heads' QKᵀ planes
+    # live (each costs one (bq, n) f32 plane of VMEM stack).
+    pipe = [qk(h) for h in range(min(depth, n_heads))]
     for h in range(n_heads):
-        s2 = s2_next
-        if h + 1 < n_heads:
-            s2_next = qk(h + 1)  # MXU work independent of the VPU below
+        s2 = pipe.pop(0)
+        if h + depth < n_heads:
+            pipe.append(qk(h + depth))  # MXU work independent of the VPU below
         sl = slice(h * dh, (h + 1) * dh)
         v = v_ref[0, :, sl]
         m2 = jnp.max(s2, axis=-1, keepdims=True)
@@ -187,7 +189,8 @@ def _fwd_kernel_staged(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         o_ref[0, :, sl] = (acc / denom).astype(o_ref.dtype)
 
 
-def staged_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
+def staged_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret,
+               depth=1):
     bsz, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
@@ -197,7 +200,7 @@ def staged_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
     q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=True)
     kernel = functools.partial(
         _fwd_kernel_staged, scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
-        padded=n_proc != n, dropout_rate=dropout_rate,
+        padded=n_proc != n, dropout_rate=dropout_rate, depth=depth,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -238,6 +241,8 @@ def main():
     ap.add_argument("--heads", type=int, default=6)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--depth", type=int, default=1,
+                    help="fwd pipeline depth (heads of QKᵀ hoisted ahead)")
     args = ap.parse_args()
 
     b, n, d, h = args.batch, args.seq, args.dim, args.heads
@@ -302,12 +307,13 @@ def main():
             dropout_rng=jax.random.PRNGKey(1)))
         stag = loop(lambda x, r=rate: staged_fwd(
             x, seed, n_heads=h, scale=scale, dropout_rate=r,
-            interpret=False)[0])
+            interpret=False, depth=args.depth)[0])
         t_p = _timed(prod, qkv, args.iters) - t_base
         t_s = _timed(stag, qkv, args.iters) - t_base
         print(
             f"rate={rate}: production fwd {t_p*1e3:7.3f} ms "
-            f"({fwd_fl/t_p/1e12:5.1f} TF/s)   staged fwd {t_s*1e3:7.3f} ms "
+            f"({fwd_fl/t_p/1e12:5.1f} TF/s)   staged(d={args.depth}) fwd "
+            f"{t_s*1e3:7.3f} ms "
             f"({fwd_fl/t_s/1e12:5.1f} TF/s)   delta {100*(t_p-t_s)/t_p:+.1f}%",
             flush=True,
         )
