@@ -216,31 +216,38 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             preferred_element_type=jnp.float32,
         )
 
-    # Same software pipelining as _fwd_kernel: head h+1's QKᵀ issues ahead
-    # of head h's VPU work (measured +1.2-1.5% kernel-isolated,
-    # bit-identical); one extra live (n, n) f32 plane, driver-gated.
+    def dovt(h):
+        sl = slice(h * dh, (h + 1) * dh)
+        return jax.lax.dot_general(                     # do @ vᵀ: (n, n)
+            do_ref[0, :, sl], v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Software pipelining as in _fwd_kernel, but hoisting BOTH of head
+    # h+1's independent MXU planes — QKᵀ AND dp = do·vᵀ — ahead of head
+    # h's VPU work (dual-hoist measured 2.127 → 2.044 ms kernel-isolated
+    # at dropout 0.1, +3.9%, bit-identical; the earlier qk-only hoist was
+    # +1.2-1.5%). Two extra live (n, n) f32 planes, driver-gated.
     if staged:
         qs2_next, s2_next = qk(0)
+        dp_next = dovt(0)
     for h in range(n_heads):
         if staged:
-            qs2, s2 = qs2_next, s2_next
+            qs2, s2, dp = qs2_next, s2_next, dp_next
             if h + 1 < n_heads:
                 qs2_next, s2_next = qk(h + 1)
+                dp_next = dovt(h + 1)
         else:
             qs2, s2 = qk(h)
+            dp = dovt(h)
         sl = slice(h * dh, (h + 1) * dh)
         k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]                           # (n, dh)
         o = o_ref[0, :, sl]
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
         p = jnp.exp2(s2 - lse * jnp.float32(_LOG2E))    # exact softmax probs
         if padded:
             p = _col_mask(p, n_valid, 0)
-        dp = jax.lax.dot_general(                       # do @ vᵀ: (n, n)
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                         axis=-1, keepdims=True)         # (n, 1)
         if dropout_rate > 0.0:
@@ -449,11 +456,14 @@ def _plan(n: int, d: int) -> tuple:
 
 
 def _staged_ok(bq: int, n: int, d: int, kind: str) -> bool:
-    """Head-staged issue order keeps ONE extra (bq, n) f32 score plane live
-    (head h+1's QKᵀ while head h's VPU work runs). Enable it only when that
-    plane still fits the stack budget — at long sequences the block plan is
-    already at the ceiling and staging would overflow Mosaic's stack."""
-    extra = bq * _ceil_to(n, 128) * 4.0
+    """Head-staged issue order keeps extra (bq, n) f32 score planes live:
+    one in the forward (head h+1's QKᵀ while head h's VPU work runs), two
+    in the fused backward (its dual-hoist also carries h+1's do·vᵀ plane).
+    Enable it only when those planes still fit the stack budget — at long
+    sequences the block plan is already at the ceiling and staging would
+    overflow Mosaic's stack."""
+    planes = 2 if kind == "fused" else 1
+    extra = planes * bq * _ceil_to(n, 128) * 4.0
     return _stack_bytes(bq, n, d, kind) + extra <= _VMEM_BUDGET
 
 

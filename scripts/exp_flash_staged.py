@@ -1,14 +1,12 @@
-"""EXPERIMENT: head-staged (software-pipelined) flash forward kernel.
+"""EXPERIMENT: deeper software pipelining of the flash kernels.
 
-Hypothesis: the production fwd kernel (ops/flash_attention.py::_fwd_kernel)
-runs at ~42 TF/s against a ~98 TF/s Dh-halved ceiling, and the measured
-negative results say it is NOT VPU-op-count-bound — so the gap is
-scheduling: per head the kernel issues MXU (QKᵀ) → VPU (softmax+mask) →
-MXU (PV) serially, and if Mosaic schedules the unrolled 6-head block
-in order, the MXU idles during every VPU phase. This variant hoists head
-h+1's QKᵀ ahead of head h's VPU work so the scheduler has an independent
-MXU op to overlap. Costs one extra live (bq, n) f32 score plane (~1.3 MB
-VMEM at bench dims — the fwd stack has headroom).
+Round-2 production already head-stages both kernels at depth 1 (head h+1's
+QKᵀ issues ahead of head h's VPU work — measured +10.9% fwd, +1.5% bwd,
+now in ops/flash_attention.py). This script probes the next increments:
+  * fwd --depth N: keep N future heads' QKᵀ planes live instead of 1.
+  * bwd dual-hoist: hoist head h+1's dp = do·vᵀ plane as well as its QKᵀ
+    (two independent MXU ops available during every VPU phase; costs a
+    second extra live (n, n) f32 plane).
 
 Run on CPU for numerics (interpreter), on the chip for timing:
     PYTHONPATH=/root/repo:$PYTHONPATH python scripts/exp_flash_staged.py \
@@ -45,8 +43,10 @@ def _bwd_fused_kernel_staged(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                              do_ref, dqkv_ref, *, scale: float, n_heads: int,
                              dh: int, n_valid: int, padded: bool,
                              dropout_rate: float):
-    """Fused backward with head h+1's s2 matmul hoisted ahead of head h's
-    VPU work (one extra live (n, n) f32 plane)."""
+    """Fused backward with BOTH of head h+1's independent MXU ops — the
+    QKᵀ score plane AND the dp = do·vᵀ plane — hoisted ahead of head h's
+    VPU work (production hoists only QKᵀ). Costs two extra live (n, n)
+    f32 planes instead of one."""
     b = pl.program_id(0)
     d = n_heads * dh
 
@@ -58,24 +58,28 @@ def _bwd_fused_kernel_staged(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32,
         )
 
+    def dovt(h):
+        sl = slice(h * dh, (h + 1) * dh)
+        return jax.lax.dot_general(
+            do_ref[0, :, sl], v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     qs2_next, s2_next = qk(0)
+    dp_next = dovt(0)
     for h in range(n_heads):
-        qs2, s2 = qs2_next, s2_next
+        qs2, s2, dp = qs2_next, s2_next, dp_next
         if h + 1 < n_heads:
             qs2_next, s2_next = qk(h + 1)
+            dp_next = dovt(h + 1)
         sl = slice(h * dh, (h + 1) * dh)
         k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
         do = do_ref[0, :, sl]
         o = o_ref[0, :, sl]
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])
         p = jnp.exp2(s2 - lse * jnp.float32(_LOG2E))
         if padded:
             p = _col_mask(p, n_valid, 0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                         axis=-1, keepdims=True)
         if dropout_rate > 0.0:
@@ -327,7 +331,8 @@ def main():
         t_bs = _timed(bstag, qkv, args.iters) - t_base
         print(
             f"rate={rate}: production bwd {t_bp*1e3:7.3f} ms "
-            f"({bwd_fl/t_bp/1e12:5.1f} TF/s)   staged bwd {t_bs*1e3:7.3f} ms "
+            f"({bwd_fl/t_bp/1e12:5.1f} TF/s)   dual-hoist bwd "
+            f"{t_bs*1e3:7.3f} ms "
             f"({bwd_fl/t_bs/1e12:5.1f} TF/s)   "
             f"delta {100*(t_bp-t_bs)/t_bp:+.1f}%",
             flush=True,
