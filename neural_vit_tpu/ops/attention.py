@@ -102,6 +102,95 @@ def multi_head_attention_qkv(
     return out.reshape(b, n, d), weights
 
 
+def tp_multi_head_attention_qkv3(
+    qkv3: jax.Array,
+    *,
+    mesh,
+    n_heads: int,
+    scale: float,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    use_flash: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Head-parallel attention over the mesh's 'model' axis via shard_map.
+
+    GSPMD cannot partition a Pallas custom call, so under tensor parallelism
+    the attention core is placed with `shard_map`: each model-shard holds a
+    whole group of heads — its slice of the (B, N, 3, D) projection output,
+    contiguous because the qkv projection is a DenseGeneral with a
+    (D, 3, D) kernel column-sharded on the LAST dim (`parallel/mesh.py`
+    `_TP_RULES`) — reshapes it to the packed (B, N, 3·D/tp) layout the
+    kernel consumes, and runs the unchanged flash kernel on its local
+    heads. Attention is embarrassingly parallel over heads (Megatron), so
+    the only collective in the block remains the proj row-split psum that
+    XLA already inserts.
+
+    Args:
+        qkv3: (B, N, 3, D) projection output, head-major inside D. B must
+            divide the mesh's 'data' size, D its 'model' size.
+        mesh: the ('data', 'model') jax.sharding.Mesh the step runs under.
+        dropout_rng: folded with the model-shard index inside the map, so
+            head groups draw independent masks (dropout masks are a random
+            draw, not a parity surface).
+        interpret: force the Pallas kernel in interpreter mode (CPU tests
+            of this exact path; otherwise CPU falls back to XLA attention).
+
+    Returns:
+        (B, N, D) attention output, sharded ('data', None, 'model').
+    """
+    # Varying-mesh-axis checking can't see through the Pallas custom call —
+    # disable it (check_vma on jax>=0.8's jax.shard_map, check_rep on the
+    # legacy experimental API).
+    try:
+        from jax import shard_map as _shard_map  # jax >= 0.8
+
+        def shard_map(f, **kw):
+            return _shard_map(f, check_vma=False, **kw)
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+        def shard_map(f, **kw):
+            return _shard_map_legacy(f, check_rep=False, **kw)
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape["model"]
+    b, n, three, d = qkv3.shape
+    if three != 3:
+        raise ValueError(f"qkv3 must be (B, N, 3, D), got {qkv3.shape}")
+    if n_heads % tp != 0:
+        raise ValueError(f"{n_heads} heads not divisible by model={tp}")
+    h_local = n_heads // tp
+    if dropout_rng is None:
+        dropout_rng = jax.random.key(0)  # unused: deterministic or rate 0
+
+    def local(q3, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("model"))
+        lb, ln = q3.shape[0], q3.shape[1]
+        qkv_l = q3.reshape(lb, ln, 3 * q3.shape[-1])
+        if interpret:
+            from neural_vit_tpu.ops.flash_attention import flash_attention_qkv
+
+            return flash_attention_qkv(
+                qkv_l, n_heads=h_local, scale=scale,
+                dropout_rate=dropout_rate if not deterministic else 0.0,
+                dropout_rng=rng, interpret=True,
+            )
+        out, _ = multi_head_attention_qkv(
+            qkv_l, n_heads=h_local, scale=scale,
+            dropout_rate=dropout_rate, deterministic=deterministic,
+            dropout_rng=rng, use_flash=use_flash,
+        )
+        return out
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None, None, "model"), P()),
+        out_specs=P("data", None, "model"),
+    )(qkv3, dropout_rng)
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,

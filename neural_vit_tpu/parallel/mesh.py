@@ -78,10 +78,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 # Megatron-style TP rules keyed on flattened param path.
-# Dense kernels are (in, out) in flax.
+# Dense kernels are (in, out) in flax. The qkv projection is a DenseGeneral
+# with a (D, 3, D) kernel (byte-identical to Dense(3D)) so the column split
+# lands on the head-major LAST dim: every model-shard gets whole head
+# groups of q, k, AND v — the contiguous per-shard [q|k|v] packing the
+# flash kernel consumes under shard_map (ops/attention.py
+# tp_multi_head_attention_qkv3).
 _TP_RULES = (
-    (re.compile(r"attn/qkv/kernel$"), P(None, "model")),     # column
-    (re.compile(r"attn/qkv/bias$"), P("model")),
+    (re.compile(r"attn/qkv/kernel$"), P(None, None, "model")),  # column
+    (re.compile(r"attn/qkv/bias$"), P(None, "model")),
     (re.compile(r"attn/proj/kernel$"), P("model", None)),    # row
     (re.compile(r"mlp/fc1/kernel$"), P(None, "model")),      # column
     (re.compile(r"mlp/fc1/bias$"), P("model")),

@@ -238,7 +238,11 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     else:
         freq_size, time_size = infer_input_dims(train_ds)
     model_config = build_model_config(cfg, freq_size, time_size)
-    model = Temporal3DViT(model_config)
+    # Under tensor parallelism the attention core needs the mesh explicitly
+    # (shard_map around the Pallas kernel); everything else is shardings.
+    model = Temporal3DViT(
+        model_config, mesh=mesh if mesh.shape["model"] > 1 else None
+    )
     if cfg.loader.tile_patches is not None:
         want = (model_config.patch_trial, model_config.patch_freq,
                 model_config.patch_time)

@@ -208,3 +208,35 @@ def test_unsupported_shape_reports_and_dispatch_falls_back(rng):
                     jnp.float32)
     out, _ = multi_head_attention_qkv(x, n_heads=1, scale=0.125)
     assert out.shape == (1, 20, 64)
+
+
+@pytest.mark.parametrize("force", [True, False])
+def test_staged_issue_order_is_bit_identical(rng, monkeypatch, force):
+    """Head-staging (software-pipelining head h+1's QK^T / do.v^T past head
+    h's VPU work) only reorders MXU issue — forward output and all three
+    packed gradients must be BIT-identical with staging forced on vs off."""
+    import neural_vit_tpu.ops.flash_attention as fa
+
+    b, n, h, dh = 2, 129, 3, 64
+    q, k, v = _qkv(rng, b=b, n=n, h=h, dh=dh)
+    qkv = jnp.concatenate(
+        [q.reshape(b, n, -1), k.reshape(b, n, -1), v.reshape(b, n, -1)], -1
+    )
+
+    def run():
+        def loss(x):
+            o = fa.flash_attention_qkv(
+                x, n_heads=h, scale=dh ** -0.5, dropout_rate=0.2,
+                dropout_rng=jax.random.key(7), interpret=True,
+            )
+            return jnp.sum(o * jnp.cos(o)), o
+
+        (_, out), grad = jax.value_and_grad(loss, has_aux=True)(qkv)
+        return np.asarray(out), np.asarray(grad)
+
+    monkeypatch.setattr(fa, "_staged_ok", lambda *a, **k: force)
+    got_out, got_grad = run()
+    monkeypatch.setattr(fa, "_staged_ok", lambda *a, **k: not force)
+    ref_out, ref_grad = run()
+    np.testing.assert_array_equal(got_out, ref_out)
+    np.testing.assert_array_equal(got_grad, ref_grad)

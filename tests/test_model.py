@@ -203,8 +203,14 @@ def test_logits_match_reference_torch():
         t = f"blocks.{i}."
         b["norm1"]["scale"] = sd[t + "norm1.weight"]
         b["norm1"]["bias"] = sd[t + "norm1.bias"]
-        b["attn"]["qkv"]["kernel"] = sd[t + "attn.qkv.weight"].T
-        b["attn"]["qkv"]["bias"] = sd[t + "attn.qkv.bias"]
+        # torch weight (3D, D) → flax DenseGeneral kernel (D, 3, D): the
+        # transpose is the (D, 3D) Dense kernel whose columns pack
+        # [q | k | v]; the reshape just names the (3, D) column grouping.
+        d_embed = jcfg.embed_dim
+        b["attn"]["qkv"]["kernel"] = (
+            sd[t + "attn.qkv.weight"].T.reshape(d_embed, 3, d_embed)
+        )
+        b["attn"]["qkv"]["bias"] = sd[t + "attn.qkv.bias"].reshape(3, d_embed)
         b["attn"]["proj"]["kernel"] = sd[t + "attn.proj.weight"].T
         b["attn"]["proj"]["bias"] = sd[t + "attn.proj.bias"]
         b["ls1"]["gamma"] = sd[t + "ls1.gamma"]

@@ -59,8 +59,10 @@ def test_tp_rules_match_paths():
     mesh = make_mesh(MeshSpec(data=4, model=2))
     sh = param_shardings(state.params, mesh)
     b0 = sh["block_0"]
-    assert b0["attn"]["qkv"]["kernel"].spec == P(None, "model")
-    assert b0["attn"]["qkv"]["bias"].spec == P("model")
+    # qkv is a (D, 3, D) DenseGeneral kernel: the LAST dim is head-major D,
+    # so the 'model' split gives each shard whole head groups of q, k AND v.
+    assert b0["attn"]["qkv"]["kernel"].spec == P(None, None, "model")
+    assert b0["attn"]["qkv"]["bias"].spec == P(None, "model")
     assert b0["attn"]["proj"]["kernel"].spec == P("model", None)
     assert b0["attn"]["proj"]["bias"].spec == P()
     assert b0["mlp"]["fc1"]["kernel"].spec == P(None, "model")
@@ -127,3 +129,76 @@ def test_dryrun_multichip_contract():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_tp_attention_matches_single_device():
+    """Head-parallel shard_map attention (model=2) reproduces the plain
+    single-device forward exactly (eval mode; same params)."""
+    model, state, *_ = _setup()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(
+        (16, TINY.n_trials, TINY.freq_size, TINY.time_size)), jnp.float32)
+    ref = jax.jit(
+        lambda p, v: model.apply({"params": p}, v, train=False)
+    )(state.params, x)
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    model_tp = Temporal3DViT(TINY, mesh=mesh)
+    params_tp = jax.device_put(
+        state.params, param_shardings(state.params, mesh)
+    )
+    x_tp = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(
+        lambda p, v: model_tp.apply({"params": p}, v, train=False)
+    )(params_tp, x_tp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tp_flash_shard_map_matches_xla():
+    """The Pallas kernel under shard_map (interpret mode) over the model
+    axis matches full XLA attention — the exact path real TPU TP takes."""
+    from neural_vit_tpu.ops.attention import (
+        tp_multi_head_attention_qkv3,
+        xla_attention,
+    )
+
+    b, n, h, dh = 8, 64, 4, 8
+    d = h * dh
+    rng = np.random.default_rng(3)
+    qkv3 = jnp.asarray(rng.standard_normal((b, n, 3, d)), jnp.float32)
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    qkv3_sh = jax.device_put(
+        qkv3,
+        jax.sharding.NamedSharding(mesh, P("data", None, None, "model")),
+    )
+    got = tp_multi_head_attention_qkv3(
+        qkv3_sh, mesh=mesh, n_heads=h, scale=dh ** -0.5, interpret=True
+    )
+    q, k, v = (qkv3.reshape(b, n, 3, h, dh)[:, :, i] for i in range(3))
+    ref, _ = xla_attention(q, k, v, scale=dh ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref).reshape(b, n, d),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_tp_attention_dropout_is_deterministic_per_key():
+    """In-kernel attention dropout under shard_map: same key → identical
+    output; different key → different output (per-shard fold_in works)."""
+    from neural_vit_tpu.ops.attention import tp_multi_head_attention_qkv3
+
+    b, n, h, dh = 8, 64, 4, 8
+    d = h * dh
+    rng = np.random.default_rng(5)
+    qkv3 = jnp.asarray(rng.standard_normal((b, n, 3, d)), jnp.float32)
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    run = lambda key: np.asarray(tp_multi_head_attention_qkv3(
+        qkv3, mesh=mesh, n_heads=h, scale=dh ** -0.5,
+        dropout_rate=0.3, deterministic=False,
+        dropout_rng=jax.random.key(key), interpret=True,
+    ))
+    a, a2, c = run(0), run(0), run(1)
+    np.testing.assert_array_equal(a, a2)
+    assert np.abs(a - c).max() > 1e-3
+    assert np.isfinite(a).all()
