@@ -4,13 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "volumes/sec/chip", "vs_baseline": N}
 
 Measures full training steps (forward + backward + AdamW update) of the
-'small' Temporal 3D ViT (384d / 6h / 8L, 513 tokens) on (8, 64, 128)
-spectrogram volumes under real train conditions — dropout, attention
-dropout (in-kernel, flash path), stochastic depth, class-weighted smoothed
-CE. The model runs its TPU performance configuration (QuickGELU
-x·σ(1.702x), the CLIP/GPT-2 formulation — measured A/B 1,511 vs tanh's
-1,502 v/s; the exact-erf torch-parity formulation stays available via
-`gelu="erf"` — see docs/ROOFLINE.md). vs_baseline is
+'small' Temporal 3D ViT (384d / 6h / 8L) on (8, 64, 128) spectrogram
+volumes under real train conditions — dropout, attention dropout
+(in-kernel, flash path), stochastic depth, class-weighted smoothed CE.
+The model runs its TPU performance configuration (QuickGELU x·σ(1.702x),
+the CLIP/GPT-2 formulation — measured A/B 1,511 vs tanh's 1,502 v/s; the
+exact torch-parity formulation stays available via `--gelu erf`). The
+readout stays pool='cls' (reference semantics, 513 tokens): the CLS-free
+`--pool mean` variant is lane-aligned (512 tokens — no Mosaic 513→640 pad
+in attention) and measured +10.5% (1,810 vs 1,638 v/s), but it FAILS the
+calibrated quality gate (test AUC 0.81 vs cls 0.94, log-reg baseline 0.89
+— demo_results/full_scale_demo_quick_mean.json), so it is an option, not
+the default — see docs/ROOFLINE.md. vs_baseline is
 measured against the north-star target of 5,000 volumes/sec/chip
 (BASELINE.json; the reference never measured throughput — SURVEY §6).
 NOTE on the target: 5,000 v/s × ~53 GFLOP/volume = ~265 TFLOP/s, which
@@ -38,9 +43,24 @@ enable_compilation_cache()
 
 # v5e bf16 peak (TFLOP/s) — for the MFU diagnostic.
 PEAK_TFLOPS = 197.0
-# Analytic fwd+bwd FLOPs per (8, 64, 128) volume for the 'small' config
-# (matmuls + attention, fwd ≈ 17.7 GF, bwd ≈ 2× fwd): see docs/ROOFLINE.md.
-FLOPS_PER_VOLUME = 53.2e9
+
+
+def flops_per_volume(cfg) -> float:
+    """Analytic fwd+bwd FLOPs per volume (matmuls + attention; bwd = 2×fwd)
+    from the actual config, so MFU stays honest across --pool / model-shape
+    flags (N=513 with CLS → 53.2 GF; N=512 mean-pool → 53.1 GF). See
+    docs/ROOFLINE.md for the derivation."""
+    n, d, L = cfg.seq_len, cfg.embed_dim, cfg.n_layers
+    hidden = int(d * cfg.mlp_ratio)
+    per_layer = (
+        2 * n * d * 3 * d              # qkv projection
+        + 2 * (2 * n * n * d)          # QKᵀ + PV (Dh·H = D)
+        + 2 * n * d * d                # out projection
+        + 2 * (2 * n * d * hidden)     # MLP fc1 + fc2
+    )
+    patch = 2 * cfg.n_patches * d * cfg.patch_dim
+    head = 2 * d * d + 2 * d * cfg.n_classes
+    return 3.0 * (L * per_layer + patch + head)
 
 
 def log(*a):
@@ -49,7 +69,7 @@ def log(*a):
 
 def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
                            gelu: str = "quick", scoped_vmem_kib: int = 26624,
-                           tiled: bool = False):
+                           tiled: bool = False, pool: str = "cls"):
     # batch 128 is the measured best single-chip operating point
     # (sweep, r2: 64→1345, 96→1394, 128→1456, 192→1278, 256→1409 v/s);
     # under data parallelism the global batch is per-chip × n_chips, so
@@ -60,6 +80,7 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
 
     cfg = CONFIGS["small"].replace(
         dropout=0.2, attention_dropout=0.1, drop_path=0.1, gelu=gelu,
+        pool=pool,
     )
     model = Temporal3DViT(cfg)
     rng = np.random.default_rng(0)
@@ -122,23 +143,27 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
     float(m["loss_sum"])  # value fetch: the only reliable execution fence
     dt = time.perf_counter() - t0
     vols_per_sec = batch * steps / dt
-    tflops = vols_per_sec * FLOPS_PER_VOLUME / 1e12
+    fpv = flops_per_volume(cfg)
+    tflops = vols_per_sec * fpv / 1e12
+    log(f"config: gelu={gelu} pool={pool} (N={cfg.seq_len}) batch={batch} "
+        f"scoped_vmem={scoped_vmem_kib} KiB")
     log(f"batch={batch} steps={steps} time={dt:.3f}s "
         f"→ {vols_per_sec:,.0f} volumes/sec/chip (fwd+bwd+update)")
-    log(f"implied {tflops:.1f} TFLOP/s at {FLOPS_PER_VOLUME / 1e9:.1f} "
+    log(f"implied {tflops:.1f} TFLOP/s at {fpv / 1e9:.1f} "
         f"GFLOP/volume → {100 * tflops / PEAK_TFLOPS:.1f}% MFU "
         f"(v5e bf16 peak {PEAK_TFLOPS:.0f} TFLOP/s)")
     return vols_per_sec
 
 
-def bench_inference_throughput(batch: int = 128, steps: int = 60):
+def bench_inference_throughput(batch: int = 128, steps: int = 60,
+                               gelu: str = "quick", pool: str = "cls"):
     """Serving-side diagnostic: eval-mode forward (no dropout, flash
     attention, bf16 compute) — what the exported StableHLO artifact runs.
     stderr only; the stdout contract stays one JSON line."""
     from neural_vit_tpu.core.config import CONFIGS
     from neural_vit_tpu.models.vit import Temporal3DViT
 
-    cfg = CONFIGS["small"].replace(gelu="tanh")
+    cfg = CONFIGS["small"].replace(gelu=gelu, pool=pool)
     model = Temporal3DViT(cfg)
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -159,7 +184,7 @@ def bench_inference_throughput(batch: int = 128, steps: int = 60):
     float(logits[0, 0])
     dt = time.perf_counter() - t0
     vps = batch * steps / dt
-    fwd_flops = FLOPS_PER_VOLUME / 3.0  # bwd ≈ 2× fwd
+    fwd_flops = flops_per_volume(cfg) / 3.0  # bwd ≈ 2× fwd
     log(f"inference (eval fwd, batch {batch}): {vps:,.0f} volumes/sec/chip, "
         f"implied {vps * fwd_flops / 1e12:.1f} TFLOP/s "
         f"({100 * vps * fwd_flops / 1e12 / PEAK_TFLOPS:.1f}% MFU)")
@@ -246,6 +271,12 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--gelu", default="quick", choices=["quick", "tanh", "erf"])
+    ap.add_argument("--pool", default="cls", choices=["cls", "mean"],
+                    help="'mean' = CLS-free mean-pool readout: 512 tokens "
+                         "(lane-aligned) instead of 513 — removes Mosaic's "
+                         "513->640 pad tax from attention (+10.5% v/s) but "
+                         "fails the calibrated quality gate; cls is the "
+                         "quality-bearing default")
     ap.add_argument("--vmem-kib", type=int, default=26624,
                     help="xla_tpu_scoped_vmem_limit_kib (0 = compiler "
                          "default; re-sweep after layout changes)")
@@ -259,7 +290,7 @@ def main():
     # block the one JSON line the driver consumes.
     value = bench_train_throughput(
         batch=args.batch, steps=args.steps, gelu=args.gelu,
-        scoped_vmem_kib=args.vmem_kib, tiled=args.tiled,
+        scoped_vmem_kib=args.vmem_kib, tiled=args.tiled, pool=args.pool,
     )
     target = 5000.0
     print(json.dumps({

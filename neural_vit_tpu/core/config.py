@@ -67,6 +67,16 @@ class Temporal3DViTConfig:
                                        # keeps the normalized stream in bf16
                                        # (mean/var still accumulate f32 via
                                        # XLA reduction semantics)
+    pool: str = "cls"                  # "cls" = classify the CLS token
+                                       # (exact reference semantics);
+                                       # "mean" = no CLS token, classify the
+                                       # mean-pooled tokens (SimpleViT-style).
+                                       # On TPU "mean" makes the token count
+                                       # the bare patch grid (512 at default
+                                       # dims, vs 513) — a lane-aligned
+                                       # sequence that removes Mosaic's
+                                       # 513→640 padding tax from every
+                                       # attention matmul and softmax plane.
 
     # ---- derived ----
     @property
@@ -91,8 +101,8 @@ class Temporal3DViTConfig:
 
     @property
     def seq_len(self) -> int:
-        """Token count including the CLS token."""
-        return self.n_patches + 1
+        """Token count (includes the CLS token under pool='cls')."""
+        return self.n_patches + (1 if self.pool == "cls" else 0)
 
     @property
     def head_dim(self) -> int:
@@ -108,6 +118,8 @@ class Temporal3DViTConfig:
             raise ValueError("time_size must be divisible by patch_time.")
         if self.embed_dim % self.n_heads != 0:
             raise ValueError("embed_dim must be divisible by n_heads.")
+        if self.pool not in ("cls", "mean"):
+            raise ValueError(f"pool must be 'cls' or 'mean', got {self.pool!r}")
         return self
 
     def replace(self, **kwargs) -> "Temporal3DViTConfig":

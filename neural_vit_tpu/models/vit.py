@@ -395,11 +395,18 @@ class Temporal3DViT(nn.Module):
         ).reshape(1, cfg.n_patches, cfg.embed_dim)
         x = x + pos.astype(dtype)
 
-        cls = self.param("cls_token", trunc_init, (1, 1, cfg.embed_dim), pdtype)
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.embed_dim)), x],
-            axis=1,
-        )
+        if cfg.pool == "cls":
+            cls = self.param(
+                "cls_token", trunc_init, (1, 1, cfg.embed_dim), pdtype
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(dtype), (b, 1, cfg.embed_dim)),
+                 x],
+                axis=1,
+            )
+        # pool == "mean": no CLS token — the sequence stays the bare patch
+        # grid (512 tokens at default dims): lane-aligned, so Mosaic pads
+        # nothing and every attention matmul/softmax plane shrinks 640→512.
         x = Dropout(cfg.dropout)(x, deterministic)
 
         # Linear stochastic-depth decay (reference `model.py:227`).
@@ -420,8 +427,12 @@ class Temporal3DViT(nn.Module):
             param_dtype=pdtype, name="norm",
         )(x)
 
-        # Classification head on the CLS token (reference `model.py:247-252`).
-        clsf = x[:, 0].astype(dtype)
+        # Classification head (reference `model.py:247-252` reads the CLS
+        # token; pool='mean' reads the mean-pooled tokens instead).
+        if cfg.pool == "cls":
+            clsf = x[:, 0].astype(dtype)
+        else:
+            clsf = jnp.mean(x, axis=1).astype(dtype)
         clsf = nn.Dense(cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
                         param_dtype=pdtype, name="head_fc1")(clsf)
         clsf = _gelu(clsf, cfg.gelu)

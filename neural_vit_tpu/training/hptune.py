@@ -65,6 +65,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     # measured-fast activation and the per-compile scoped-VMEM limit.
     parser.add_argument("--gelu", type=str, default="erf",
                         choices=["erf", "tanh", "quick"])
+    parser.add_argument("--pool", type=str, default="cls",
+                        choices=["cls", "mean"])
     parser.add_argument("--scoped_vmem_limit_kib", type=int, default=None)
     return parser.parse_args(argv)
 
@@ -117,6 +119,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         project_id=args.project_id,
         location=args.location,
         gelu=getattr(args, "gelu", "erf"),
+        pool=getattr(args, "pool", "cls"),
         scoped_vmem_limit_kib=getattr(args, "scoped_vmem_limit_kib", None),
     )
 

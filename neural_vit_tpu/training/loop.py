@@ -91,6 +91,7 @@ def build_model_config(cfg: TrainConfig, freq_size: int, time_size: int) -> Temp
         remat=cfg.remat,
         gelu=cfg.gelu,
         norm_dtype=cfg.norm_dtype,
+        pool=cfg.pool,
     )
 
 

@@ -40,6 +40,10 @@ def main():
                     help="'erf' = reference parity; 'tanh'/'quick' run the "
                          "gate under the TPU perf formulations (artifact "
                          "gets a _<gelu> suffix so the erf record stays)")
+    ap.add_argument("--pool", default="cls", choices=["cls", "mean"],
+                    help="'mean' = CLS-free mean-pool readout (the TPU perf "
+                         "configuration: lane-aligned token count); artifact "
+                         "gets a _mean suffix so the cls record stays")
     args = ap.parse_args()
 
     from neural_vit_tpu.baselines import logreg
@@ -117,6 +121,7 @@ def main():
         use_cosine_schedule=True, warmup_epochs=3,
         early_stopping_patience=args.patience, checkpoint_metric="val_auc",
         gelu=args.gelu,
+        pool=args.pool,
         # Production T=488 → N=1953 tokens: remat keeps activation HBM at
         # ~O(layers × block-input) so the device-resident dataset plus
         # batch-64 training fits on one 16 GB chip.
@@ -145,6 +150,8 @@ def main():
     }
 
     suffix = "" if args.gelu == "erf" else f"_{args.gelu}"
+    if args.pool != "cls":
+        suffix += f"_{args.pool}"
     out = f"{args.outdir}/full_scale_demo{suffix}.json"
     with open(out, "w") as f:
         json.dump(report, f, indent=2, default=str)

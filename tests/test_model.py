@@ -142,6 +142,35 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-7)
 
 
+def test_mean_pool_variant():
+    """pool='mean' (SimpleViT-style CLS-free readout, the TPU perf
+    configuration): no cls_token param, seq_len is the bare patch grid
+    (lane-aligned on TPU), logits well-formed, gradients flow everywhere,
+    and attention maps have the CLS-free token count."""
+    cfg = TINY.replace(pool="mean")
+    assert cfg.seq_len == cfg.n_patches  # no +1 for CLS
+    model, variables, x = _init(cfg)
+    assert "cls_token" not in variables["params"]
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 2) and np.isfinite(np.asarray(logits)).all()
+
+    def loss_fn(params):
+        return jnp.sum(model.apply({"params": params}, x) ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    zero = [jax.tree_util.keystr(p) for p, g in flat if not np.any(np.asarray(g))]
+    assert zero == [], f"zero grads at: {zero}"
+
+    maps = attention_maps(model, variables, x)
+    n = cfg.n_patches
+    assert len(maps) == cfg.n_layers and maps[0].shape == (2, cfg.n_heads, n, n)
+
+    # Mean-pool readout actually differs from CLS (distinct architecture).
+    with pytest.raises(ValueError):
+        cfg.replace(pool="max").validate()
+
+
 def test_param_count_small_config():
     """~14 M params for 'small' at default dims (SURVEY §6)."""
     cfg = CONFIGS["small"].replace(compute_dtype="float32")
