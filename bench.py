@@ -8,14 +8,16 @@ Measures full training steps (forward + backward + AdamW update) of the
 volumes under real train conditions — dropout, attention dropout
 (in-kernel, flash path), stochastic depth, class-weighted smoothed CE.
 The model runs its TPU performance configuration (QuickGELU x·σ(1.702x),
-the CLIP/GPT-2 formulation — measured A/B 1,511 vs tanh's 1,502 v/s; the
-exact torch-parity formulation stays available via `--gelu erf`). The
-readout stays pool='cls' (reference semantics, 513 tokens): the CLS-free
-`--pool mean` variant is lane-aligned (512 tokens — no Mosaic 513→640 pad
-in attention) and measured +10.5% (1,810 vs 1,638 v/s), but it FAILS the
-calibrated quality gate (test AUC 0.81 vs cls 0.94, log-reg baseline 0.89
-— demo_results/full_scale_demo_quick_mean.json), so it is an option, not
-the default — see docs/ROOFLINE.md. vs_baseline is
+the CLIP/GPT-2 formulation — measured A/B 1,511 vs tanh's 1,502 v/s; and
+pool='probe', the MAP-head attention-pool readout of Zhai et al.: no CLS
+token, so the blocks' token count is the bare 512-patch grid —
+lane-aligned, removing Mosaic's 513→640 pad from every attention plane.
+Measured +10% (1,799-1,806 vs 1,638 v/s) AND it beats CLS on the
+calibrated quality gate: test AUC 0.9791 vs cls-quick 0.9409, log-reg
+0.8908 (demo_results/full_scale_demo_quick_probe.json). The plain
+mean-pool readout measured the same speed but FAILED that gate (0.81) and
+stays non-default. Exact torch parity: `--gelu erf --pool cls` — see
+docs/ROOFLINE.md). vs_baseline is
 measured against the north-star target of 5,000 volumes/sec/chip
 (BASELINE.json; the reference never measured throughput — SURVEY §6).
 NOTE on the target: 5,000 v/s × ~53 GFLOP/volume = ~265 TFLOP/s, which
@@ -69,7 +71,7 @@ def log(*a):
 
 def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
                            gelu: str = "quick", scoped_vmem_kib: int = 26624,
-                           tiled: bool = False, pool: str = "cls"):
+                           tiled: bool = False, pool: str = "probe"):
     # batch 128 is the measured best single-chip operating point
     # (sweep, r2: 64→1345, 96→1394, 128→1456, 192→1278, 256→1409 v/s);
     # under data parallelism the global batch is per-chip × n_chips, so
@@ -156,7 +158,7 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
 
 
 def bench_inference_throughput(batch: int = 128, steps: int = 60,
-                               gelu: str = "quick", pool: str = "cls"):
+                               gelu: str = "quick", pool: str = "probe"):
     """Serving-side diagnostic: eval-mode forward (no dropout, flash
     attention, bf16 compute) — what the exported StableHLO artifact runs.
     stderr only; the stdout contract stays one JSON line."""
@@ -271,12 +273,16 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--gelu", default="quick", choices=["quick", "tanh", "erf"])
-    ap.add_argument("--pool", default="cls", choices=["cls", "mean"],
-                    help="'mean' = CLS-free mean-pool readout: 512 tokens "
-                         "(lane-aligned) instead of 513 — removes Mosaic's "
-                         "513->640 pad tax from attention (+10.5% v/s) but "
-                         "fails the calibrated quality gate; cls is the "
-                         "quality-bearing default")
+    ap.add_argument("--pool", default="probe",
+                    choices=["cls", "mean", "probe"],
+                    help="'probe' (default) = MAP-head attention-pool "
+                         "readout: 512 tokens (lane-aligned) instead of "
+                         "513 — removes Mosaic's 513->640 pad tax from "
+                         "attention (+10% v/s) and beats CLS on the "
+                         "calibrated quality gate (test AUC 0.979 vs "
+                         "0.941); 'cls' = exact reference semantics; "
+                         "'mean' = plain average (same speed, fails the "
+                         "gate)")
     ap.add_argument("--vmem-kib", type=int, default=26624,
                     help="xla_tpu_scoped_vmem_limit_kib (0 = compiler "
                          "default; re-sweep after layout changes)")

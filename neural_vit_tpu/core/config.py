@@ -70,13 +70,21 @@ class Temporal3DViTConfig:
     pool: str = "cls"                  # "cls" = classify the CLS token
                                        # (exact reference semantics);
                                        # "mean" = no CLS token, classify the
-                                       # mean-pooled tokens (SimpleViT-style).
-                                       # On TPU "mean" makes the token count
-                                       # the bare patch grid (512 at default
-                                       # dims, vs 513) — a lane-aligned
-                                       # sequence that removes Mosaic's
-                                       # 513→640 padding tax from every
-                                       # attention matmul and softmax plane.
+                                       # mean-pooled tokens (SimpleViT-style);
+                                       # "probe" = no CLS token, classify a
+                                       # learned single-query multi-head
+                                       # attention pool over the tokens (the
+                                       # MAP head of Zhai et al., "Scaling
+                                       # Vision Transformers").
+                                       # On TPU "mean"/"probe" make the token
+                                       # count the bare patch grid (512 at
+                                       # default dims, vs 513) — a
+                                       # lane-aligned sequence that removes
+                                       # Mosaic's 513→640 padding tax from
+                                       # every attention matmul and softmax
+                                       # plane in all n_layers blocks; the
+                                       # probe's own cross-attention is one
+                                       # query row (~0.3% of step FLOPs).
 
     # ---- derived ----
     @property
@@ -118,8 +126,10 @@ class Temporal3DViTConfig:
             raise ValueError("time_size must be divisible by patch_time.")
         if self.embed_dim % self.n_heads != 0:
             raise ValueError("embed_dim must be divisible by n_heads.")
-        if self.pool not in ("cls", "mean"):
-            raise ValueError(f"pool must be 'cls' or 'mean', got {self.pool!r}")
+        if self.pool not in ("cls", "mean", "probe"):
+            raise ValueError(
+                f"pool must be 'cls', 'mean' or 'probe', got {self.pool!r}"
+            )
         return self
 
     def replace(self, **kwargs) -> "Temporal3DViTConfig":

@@ -404,9 +404,10 @@ class Temporal3DViT(nn.Module):
                  x],
                 axis=1,
             )
-        # pool == "mean": no CLS token — the sequence stays the bare patch
-        # grid (512 tokens at default dims): lane-aligned, so Mosaic pads
-        # nothing and every attention matmul/softmax plane shrinks 640→512.
+        # pool == "mean"/"probe": no CLS token — the sequence stays the bare
+        # patch grid (512 tokens at default dims): lane-aligned, so Mosaic
+        # pads nothing and every attention matmul/softmax plane shrinks
+        # 640→512.
         x = Dropout(cfg.dropout)(x, deterministic)
 
         # Linear stochastic-depth decay (reference `model.py:227`).
@@ -428,9 +429,24 @@ class Temporal3DViT(nn.Module):
         )(x)
 
         # Classification head (reference `model.py:247-252` reads the CLS
-        # token; pool='mean' reads the mean-pooled tokens instead).
+        # token; pool='mean' reads the mean-pooled tokens, pool='probe' a
+        # learned single-query multi-head attention pool — the MAP head).
         if cfg.pool == "cls":
             clsf = x[:, 0].astype(dtype)
+        elif cfg.pool == "probe":
+            probe = self.param(
+                "probe", trunc_init, (1, 1, cfg.embed_dim), pdtype
+            )
+            # One query row against N keys/values: O(N·D + D²) — negligible
+            # next to the blocks, and it keeps the blocks' sequence at the
+            # bare lane-aligned patch grid.
+            pooled = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.n_heads, dtype=dtype, param_dtype=pdtype,
+                kernel_init=trunc_init, deterministic=True,
+                name="probe_attn",
+            )(jnp.broadcast_to(probe.astype(dtype),
+                               (b, 1, cfg.embed_dim)), x.astype(dtype))
+            clsf = pooled[:, 0]
         else:
             clsf = jnp.mean(x, axis=1).astype(dtype)
         clsf = nn.Dense(cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,

@@ -81,10 +81,12 @@ class TrainConfig:
     remat: bool = False  # rematerialize transformer blocks in backward
     gelu: str = "erf"            # "tanh" = fast approximation (see model cfg)
     norm_dtype: str = "float32"  # "bfloat16" = fast LayerNorm compute
-    pool: str = "cls"            # "mean" = CLS-free mean-pool readout: the
+    pool: str = "cls"            # "mean"/"probe" = CLS-free readouts: the
                                  # token count becomes the bare patch grid
                                  # (lane-aligned 512 vs 513 at default dims
-                                 # — no Mosaic pad tax in attention)
+                                 # — no Mosaic pad tax in attention).
+                                 # "probe" adds a learned attention-pool
+                                 # (MAP head) where "mean" just averages.
     # PRNG for dropout/drop-path streams. 'rbg' lowers to the XLA
     # RngBitGenerator (hardware-accelerated on TPU); the default threefry
     # costs ~25% of a train step generating the big dropout masks.

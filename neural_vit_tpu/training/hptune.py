@@ -66,7 +66,7 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--gelu", type=str, default="erf",
                         choices=["erf", "tanh", "quick"])
     parser.add_argument("--pool", type=str, default="cls",
-                        choices=["cls", "mean"])
+                        choices=["cls", "mean", "probe"])
     parser.add_argument("--scoped_vmem_limit_kib", type=int, default=None)
     return parser.parse_args(argv)
 

@@ -40,7 +40,7 @@ def main():
                     help="'erf' = reference parity; 'tanh'/'quick' run the "
                          "gate under the TPU perf formulations (artifact "
                          "gets a _<gelu> suffix so the erf record stays)")
-    ap.add_argument("--pool", default="cls", choices=["cls", "mean"],
+    ap.add_argument("--pool", default="cls", choices=["cls", "mean", "probe"],
                     help="'mean' = CLS-free mean-pool readout (the TPU perf "
                          "configuration: lane-aligned token count); artifact "
                          "gets a _mean suffix so the cls record stays")

@@ -171,6 +171,30 @@ def test_mean_pool_variant():
         cfg.replace(pool="max").validate()
 
 
+def test_probe_pool_variant():
+    """pool='probe' (MAP head, Zhai et al.): blocks run on the bare
+    lane-aligned patch grid like pool='mean', but the readout is a learned
+    single-query multi-head attention pool — checking the probe params
+    exist, logits are finite, and gradients flow through every param
+    including the probe and its attention projections."""
+    cfg = TINY.replace(pool="probe")
+    assert cfg.seq_len == cfg.n_patches  # no CLS token in the sequence
+    model, variables, x = _init(cfg)
+    params = variables["params"]
+    assert "cls_token" not in params
+    assert "probe" in params and "probe_attn" in params
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 2) and np.isfinite(np.asarray(logits)).all()
+
+    def loss_fn(params):
+        return jnp.sum(model.apply({"params": params}, x) ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    zero = [jax.tree_util.keystr(p) for p, g in flat if not np.any(np.asarray(g))]
+    assert zero == [], f"zero grads at: {zero}"
+
+
 def test_param_count_small_config():
     """~14 M params for 'small' at default dims (SURVEY §6)."""
     cfg = CONFIGS["small"].replace(compute_dtype="float32")
