@@ -101,6 +101,49 @@ def test_sharded_step_matches_single_device(spec):
         )
 
 
+def test_probe_pool_sharded_step_matches_single_device():
+    """pool='probe' under DP×TP: the MAP-head params (probe + its attention
+    projections) fall through the TP rules to replicated shardings, and the
+    sharded step reproduces the unsharded loss/updates exactly."""
+    cfg = TINY.replace(pool="probe")
+    model = Temporal3DViT(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (16, cfg.n_trials, cfg.freq_size, cfg.time_size)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, 16))
+    mask = jnp.ones(16, jnp.float32)
+
+    def fresh():
+        variables = model.init(jax.random.key(0), x)
+        tx = optax.adamw(1e-3, weight_decay=0.01)
+        return TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx
+        )
+
+    step, _ = make_step_fns(model, np.array([1.0, 1.0], np.float32), 0.05)
+    key = jax.random.key(3)
+    s_ref, m_ref = step(fresh(), x, y, mask, key)
+    loss_ref = float(m_ref["loss_sum"]) / float(m_ref["n_valid"])
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    state1 = fresh()
+    sh = param_shardings(state1, mesh)
+    # probe readout params replicate (tiny; not worth TP traffic)
+    assert sh.params["probe"].spec == P()
+    assert sh.params["probe_attn"]["query"]["kernel"].spec == P()
+    state1 = jax.device_put(state1, sh)
+    xb, yb, mb = (jax.device_put(a, batch_sharding(mesh))
+                  for a in (x, y, mask))
+    s_sh, m_sh = step(state1, xb, yb, mb, key)
+    loss_sh = float(m_sh["loss_sum"]) / float(m_sh["n_valid"])
+    np.testing.assert_allclose(loss_sh, loss_ref, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_sh.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+
+
 def test_batch_iterator_shards_over_mesh(tmp_path):
     """Device-resident gather lands batches sharded over the data axis."""
     from neural_vit_tpu.data.loader import BatchIterator, DataLoaderConfig, SpectrogramDataset
