@@ -68,6 +68,14 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--pool", type=str, default="cls",
                         choices=["cls", "mean", "probe"])
     parser.add_argument("--scoped_vmem_limit_kib", type=int, default=None)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize transformer blocks in backward "
+                             "(fits production-dims N=1953 training on one "
+                             "16 GB chip)")
+    parser.add_argument("--device_resident", action="store_true",
+                        help="keep the whole split on device; batches are "
+                             "jitted gathers (fastest when the split fits "
+                             "HBM)")
     return parser.parse_args(argv)
 
 
@@ -100,7 +108,10 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         output_dir=output_dir,
         use_preprocessed=True,
         epochs=args.epochs,
-        loader=DataLoaderConfig(batch_size=args.batch_size),
+        loader=DataLoaderConfig(
+            batch_size=args.batch_size,
+            device_resident=getattr(args, "device_resident", False),
+        ),
         lr=effective_lr,
         weight_decay=args.weight_decay,
         label_smoothing=args.label_smoothing,
@@ -121,6 +132,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         gelu=getattr(args, "gelu", "erf"),
         pool=getattr(args, "pool", "cls"),
         scoped_vmem_limit_kib=getattr(args, "scoped_vmem_limit_kib", None),
+        remat=getattr(args, "remat", False),
     )
 
 
