@@ -71,18 +71,21 @@ def log(*a):
 
 def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
                            gelu: str = "quick", scoped_vmem_kib: int = 26624,
-                           tiled: bool = False, pool: str = "probe"):
+                           tiled: bool = False, pool: str = "probe",
+                           time_size: int = 128, remat: bool = False):
     # batch 128 is the measured best single-chip operating point
     # (sweep, r2: 64→1345, 96→1394, 128→1456, 192→1278, 256→1409 v/s);
     # under data parallelism the global batch is per-chip × n_chips, so
-    # the bench reports the per-chip optimum.
+    # the bench reports the per-chip optimum. time_size=488 (+ --remat,
+    # smaller batch) measures the PRODUCTION operating point: the 126/116
+    # spectrograms the real pipeline emits → N=1952/1953 tokens.
     from neural_vit_tpu.core.config import CONFIGS
     from neural_vit_tpu.models.vit import Temporal3DViT
     from neural_vit_tpu.training.loop import TrainState, make_step_fns
 
     cfg = CONFIGS["small"].replace(
         dropout=0.2, attention_dropout=0.1, drop_path=0.1, gelu=gelu,
-        pool=pool,
+        pool=pool, time_size=time_size, remat=remat,
     )
     model = Temporal3DViT(cfg)
     rng = np.random.default_rng(0)
@@ -147,8 +150,10 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
     vols_per_sec = batch * steps / dt
     fpv = flops_per_volume(cfg)
     tflops = vols_per_sec * fpv / 1e12
-    log(f"config: gelu={gelu} pool={pool} (N={cfg.seq_len}) batch={batch} "
-        f"scoped_vmem={scoped_vmem_kib} KiB")
+    log(f"config: gelu={gelu} pool={pool} (N={cfg.seq_len}, T={time_size}) "
+        f"batch={batch} scoped_vmem={scoped_vmem_kib} KiB"
+        + (" remat (MFU counts useful FLOPs; executed ≈ 4/3×)" if remat
+           else ""))
     log(f"batch={batch} steps={steps} time={dt:.3f}s "
         f"→ {vols_per_sec:,.0f} volumes/sec/chip (fwd+bwd+update)")
     log(f"implied {tflops:.1f} TFLOP/s at {fpv / 1e9:.1f} "
@@ -288,6 +293,14 @@ def main():
                          "default; re-sweep after layout changes)")
     ap.add_argument("--train-only", action="store_true",
                     help="skip the preprocess/inference stderr diagnostics")
+    ap.add_argument("--time-size", type=int, default=128,
+                    help="spectrogram time bins (488 = the production "
+                         "126/116 pipeline output -> N=1952/1953 tokens; "
+                         "pair with --remat and a smaller --batch)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize blocks in backward (required at "
+                         "production dims alongside a device-resident "
+                         "dataset)")
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
@@ -297,6 +310,7 @@ def main():
     value = bench_train_throughput(
         batch=args.batch, steps=args.steps, gelu=args.gelu,
         scoped_vmem_kib=args.vmem_kib, tiled=args.tiled, pool=args.pool,
+        time_size=args.time_size, remat=args.remat,
     )
     target = 5000.0
     print(json.dumps({

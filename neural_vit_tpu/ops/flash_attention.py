@@ -427,35 +427,68 @@ def _stack_bytes(bq: int, n: int, d: int, kind: str) -> float:
     return blocks + inter + 2 * 2 * (d // 64) * n * 4.0
 
 
-def _plan(n: int, d: int) -> tuple:
-    """Choose (n_proc, bq, bk, fused) — n_proc is the (possibly padded)
-    sequence length the kernels run at; fused=True means the one-program
-    backward applies (single q-block)."""
+def _plan_at(n: int, d: int, budget: float):
+    """Best (n_proc, bq, bk, fused) under a given VMEM stack budget, or
+    None when nothing fits."""
     for n_proc in (n, _ceil_to(n, 128)):
         for bq in _divisors_desc(n_proc, 1024):
-            if _stack_bytes(bq, n_proc, d, "fwd") > _VMEM_BUDGET:
+            if _stack_bytes(bq, n_proc, d, "fwd") > budget:
                 continue
             fused = bq == n_proc and (
-                _stack_bytes(n_proc, n_proc, d, "fused") <= _VMEM_BUDGET
+                _stack_bytes(n_proc, n_proc, d, "fused") <= budget
             )
             if fused:
                 return n_proc, bq, bq, True
-            if _stack_bytes(bq, n_proc, d, "dq") > _VMEM_BUDGET:
+            if _stack_bytes(bq, n_proc, d, "dq") > budget:
                 continue
             for bk in _divisors_desc(n_proc, 1024):
-                if _stack_bytes(bk, n_proc, d, "dkv") <= _VMEM_BUDGET:
+                if _stack_bytes(bk, n_proc, d, "dkv") <= budget:
                     return n_proc, bq, bk, False
+    return None
+
+
+# Escalation ladder for long sequences. The base 13 MiB budget matches the
+# default 16 MiB per-kernel VMEM limit; when the blocks it yields collapse
+# (bq < 256 at production N≈2k the pair kernels measured ~23 TF/s — whole
+# K/V rows are re-streamed per tiny q-block), re-plan under a bigger budget
+# and raise the kernel's own limit via CompilerParams.vmem_limit_bytes
+# (v5e has 128 MiB VMEM; the per-kernel field is the only reliable channel
+# over the tunneled backend — TPU-only XLA_FLAGS abort the local process).
+_BUDGET_LADDER = (_VMEM_BUDGET, 26 * 2**20, 48 * 2**20)
+
+
+def _plan(n: int, d: int) -> tuple:
+    """Choose (n_proc, bq, bk, fused, budget) — n_proc is the (possibly
+    padded) sequence length the kernels run at; fused=True means the
+    one-program backward applies (single q-block); budget is the VMEM
+    stack budget the plan was drawn from (> _VMEM_BUDGET ⇒ the kernels
+    must raise their per-kernel vmem_limit_bytes)."""
+    best = None
+    for budget in _BUDGET_LADDER:
+        p = _plan_at(n, d, budget)
+        if p is None:
+            continue
+        best = (*p, budget)
+        n_proc, bq, bk, fused = p
+        # Good enough: fused single-program backward, or q-blocks big
+        # enough that whole-row K/V streaming amortizes.
+        if fused or bq >= (256 if budget == _VMEM_BUDGET else 512):
+            return best
+    if best is not None:
+        return best
     raise ValueError(
-        f"flash_attention: no block plan fits the ~{_VMEM_BUDGET >> 20} MB "
-        f"VMEM stack budget for N={n}, D={d}: the whole-KV forward stops "
-        f"scaling once 2·N·D bf16 (double-buffered) alone fills VMEM — "
-        f"N≈{_VMEM_BUDGET // (8 * d)} at this D. The dispatcher "
+        f"flash_attention: no block plan fits even the "
+        f"~{_BUDGET_LADDER[-1] >> 20} MB VMEM stack budget for N={n}, "
+        f"D={d}: the whole-KV forward stops scaling once 2·N·D bf16 "
+        f"(double-buffered) alone fills VMEM — "
+        f"N≈{_BUDGET_LADDER[-1] // (8 * d)} at this D. The dispatcher "
         f"(ops/attention.py) falls back to the XLA path automatically; "
         f"check `supported(n, d)` before calling the kernel directly."
     )
 
 
-def _staged_ok(bq: int, n: int, d: int, kind: str) -> bool:
+def _staged_ok(bq: int, n: int, d: int, kind: str,
+               budget: float = _VMEM_BUDGET) -> bool:
     """Head-staged issue order keeps extra (bq, n) f32 score planes live:
     one in the forward (head h+1's QKᵀ while head h's VPU work runs), two
     in the fused backward (its dual-hoist also carries h+1's do·vᵀ plane).
@@ -464,7 +497,7 @@ def _staged_ok(bq: int, n: int, d: int, kind: str) -> bool:
     overflow Mosaic's stack."""
     planes = 2 if kind == "fused" else 1
     extra = planes * bq * _ceil_to(n, 128) * 4.0
-    return _stack_bytes(bq, n, d, kind) + extra <= _VMEM_BUDGET
+    return _stack_bytes(bq, n, d, kind) + extra <= budget
 
 
 def supported(n: int, d: int) -> bool:
@@ -489,6 +522,19 @@ _PARALLEL_2D = pltpu.CompilerParams(
 )
 
 
+def _kernel_params(budget: float) -> pltpu.CompilerParams:
+    """Parallel grid semantics, plus an explicit per-kernel VMEM limit when
+    the block plan came from an escalated budget (the default limit is
+    16 MiB; the stack model under-counts Mosaic's real stack by ~1.3×, so
+    leave generous headroom — v5e VMEM is 128 MiB)."""
+    if budget <= _VMEM_BUDGET:
+        return _PARALLEL_2D
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=min(int(budget * 1.8), 100 * 2**20),
+    )
+
+
 def _maybe_pad(x, n_proc: int):
     n = x.shape[1]
     if n_proc == n:
@@ -511,14 +557,14 @@ def _flash_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
     bsz, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
-    n_proc, bq, _, _ = _plan(n, d)
+    n_proc, bq, _, _, budget = _plan(n, d)
     qkv_p = _maybe_pad(qkv, n_proc)
     grid = (bsz, n_proc // bq)
     q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=True)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
         padded=n_proc != n, dropout_rate=dropout_rate,
-        staged=_staged_ok(bq, n_proc, d, "fwd"),
+        staged=_staged_ok(bq, n_proc, d, "fwd", budget),
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -535,7 +581,7 @@ def _flash_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
             jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
             jax.ShapeDtypeStruct((bsz, n_heads, n_proc), jnp.float32),
         ],
-        compiler_params=_PARALLEL_2D,
+        compiler_params=_kernel_params(budget),
         interpret=interpret,
     )(seed, qkv_p, qkv_p, qkv_p)
     if n_proc != n:
@@ -548,7 +594,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
     bsz, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
-    n_proc, bq, bk, fused = _plan(n, d)
+    n_proc, bq, bk, fused, budget = _plan(n, d)
     qkv_p = _maybe_pad(qkv, n_proc)
     do_p = _maybe_pad(do, n_proc)
     common = dict(scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
@@ -563,7 +609,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
         lse_spec = pl.BlockSpec((1, n_heads, n_proc), lambda b, *_: (b, 0, 0))
         dqkv = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, **common,
-                              staged=_staged_ok(n_proc, n_proc, d, "fused")),
+                              staged=_staged_ok(n_proc, n_proc, d, "fused", budget)),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(bsz, 1),
@@ -574,7 +620,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct((bsz, n_proc, 3 * d), qkv.dtype),
-            compiler_params=_PARALLEL_2D,
+            compiler_params=_kernel_params(budget),
             interpret=interpret,
         )(seed, qkv_p, qkv_p, qkv_p, out_p, lse, do_p)
         return dqkv[:, :n] if n_proc != n else dqkv
@@ -605,7 +651,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
             out_specs=qrow,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
-        compiler_params=_PARALLEL_2D,
+        compiler_params=_kernel_params(budget),
         interpret=interpret,
     )(seed, qkv_p, qkv_p, qkv_p, lse, delta, do_p)
 
@@ -625,7 +671,7 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
             jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
             jax.ShapeDtypeStruct((bsz, n_proc, d), qkv.dtype),
         ],
-        compiler_params=_PARALLEL_2D,
+        compiler_params=_kernel_params(budget),
         interpret=interpret,
     )(seed, qkv_p, qkv_p, qkv_p, lse, delta, do_p)
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)

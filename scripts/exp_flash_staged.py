@@ -121,7 +121,7 @@ def staged_bwd_fused(qkv, out, lse, do, seed, *, n_heads, scale,
     bsz, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
-    n_proc, bq, bk, fused = _plan(n, d)
+    n_proc, bq, bk, fused, _budget = _plan(n, d)
     assert fused, "staged bwd experiment only covers the fused path"
     qkv_p = _maybe_pad(qkv, n_proc)
     do_p = _maybe_pad(do, n_proc)
@@ -198,7 +198,7 @@ def staged_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret,
     bsz, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
-    n_proc, bq, _, _ = _plan(n, d)
+    n_proc, bq, _, _, _budget = _plan(n, d)
     qkv_p = _maybe_pad(qkv, n_proc)
     grid = (bsz, n_proc // bq)
     q_spec, k_spec, v_spec = _qkv_specs(n_proc, bq, d, q_blocked=True)

@@ -66,12 +66,14 @@ def main():
     ap.add_argument("--vmem-kib", type=int, default=0,
                     help="xla_tpu_scoped_vmem_limit_kib (0 = default)")
     ap.add_argument("--pool", default="cls", choices=["cls", "mean", "probe"])
+    ap.add_argument("--time_size", type=int, default=128)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     cfg = CONFIGS["small"].replace(
         dropout=args.dropout, attention_dropout=args.attn_dropout,
         drop_path=args.drop_path, gelu=args.gelu, norm_dtype=args.norm_dtype,
-        pool=args.pool,
+        pool=args.pool, time_size=args.time_size, remat=args.remat,
     )
     ts, state, (x, y, mask, key) = build(
         cfg, args.batch, tiled=args.tiled, vmem_kib=args.vmem_kib

@@ -12,7 +12,8 @@ import neural_vit_tpu.ops.flash_attention as fa
 
 assert jax.default_backend() == "tpu"
 
-B, H, N, DH, RATE = 1, 2, 513, 64, 0.3
+import os
+B, H, N, DH, RATE = 1, 2, int(os.environ.get("FLASH_CHECK_N", "513")), 64, 0.3
 SCALE = DH ** -0.5
 key = jax.random.key(3)
 seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1, jnp.int32)
@@ -43,6 +44,12 @@ M = np.asarray(pl.pallas_call(
         num_scalar_prefetch=1, grid=(B * H,), in_specs=[],
         out_specs=spec),
     out_shape=jax.ShapeDtypeStruct((B * H, N, N), jnp.bfloat16),
+    # The mimic dumps a whole (N, N) plane per program — at production N
+    # that is ~30 MB of stack, over the default 16 MiB per-kernel limit.
+    compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=min(2 * 2 * N * ((N + 127) // 128 * 128) + 2**24,
+                             100 * 2**20),
+    ),
 )(seed), np.float64)
 
 

@@ -52,7 +52,7 @@ def test_blocked_path_matches_xla(rng):
     from neural_vit_tpu.ops.flash_attention import _plan
 
     n = 1024
-    _, bq, _, fused = _plan(n, 64)
+    _, bq, _, fused, _budget = _plan(n, 64)
     assert not fused and bq < n
     q, k, v = _qkv(rng, b=1, n=n, h=1)
     scale = 64 ** -0.5
@@ -149,7 +149,7 @@ def test_dropout_mask_identical_under_different_block_geometry(rng):
     from neural_vit_tpu.ops.flash_attention import _plan
 
     n = 1024
-    n_proc, bq, bk, fused = _plan(n, 64)
+    n_proc, bq, bk, fused, _budget = _plan(n, 64)
     assert not fused, "test needs the blocked backward path"
     assert bq < n_proc, "test needs multiple q-blocks"
 
@@ -196,9 +196,13 @@ def test_unsupported_shape_reports_and_dispatch_falls_back(rng):
     from neural_vit_tpu.ops.flash_attention import _plan, supported
 
     assert supported(513, 384) and supported(1953, 384)
-    assert not supported(4096, 384)
+    # 4096 is now in-plan via the escalated per-kernel VMEM budget
+    # (26/48 MiB ladder); the whole-KV design tops out around N~8k at
+    # D=384 even under the largest budget.
+    assert supported(4096, 384)
+    assert not supported(12288, 384)
     with pytest.raises(ValueError, match="no block plan"):
-        _plan(4096, 384)
+        _plan(12288, 384)
 
     # Dispatch on CPU exercises the XLA branch for any shape; the
     # supported() check guards the TPU branch (same code path).
