@@ -429,16 +429,17 @@ def _stack_bytes(bq: int, n: int, d: int, kind: str) -> float:
 
 def _plan_at(n: int, d: int, budget: float):
     """Best (n_proc, bq, bk, fused) under a given VMEM stack budget, or
-    None when nothing fits."""
+    None when nothing fits. Fused (whole-row fwd + one-program backward)
+    is preferred whenever BOTH its stacks fit: it executes 5 N² matmuls
+    per layer against the pair's 7 and needs no delta einsum — measured
+    17% faster end-to-end than the bq=512 pair at N=2048 on a v5e."""
     for n_proc in (n, _ceil_to(n, 128)):
+        if (_stack_bytes(n_proc, n_proc, d, "fwd") <= budget
+                and _stack_bytes(n_proc, n_proc, d, "fused") <= budget):
+            return n_proc, n_proc, n_proc, True
         for bq in _divisors_desc(n_proc, 1024):
             if _stack_bytes(bq, n_proc, d, "fwd") > budget:
                 continue
-            fused = bq == n_proc and (
-                _stack_bytes(n_proc, n_proc, d, "fused") <= budget
-            )
-            if fused:
-                return n_proc, bq, bq, True
             if _stack_bytes(bq, n_proc, d, "dq") > budget:
                 continue
             for bk in _divisors_desc(n_proc, 1024):
@@ -454,7 +455,7 @@ def _plan_at(n: int, d: int, budget: float):
 # and raise the kernel's own limit via CompilerParams.vmem_limit_bytes
 # (v5e has 128 MiB VMEM; the per-kernel field is the only reliable channel
 # over the tunneled backend — TPU-only XLA_FLAGS abort the local process).
-_BUDGET_LADDER = (_VMEM_BUDGET, 26 * 2**20, 48 * 2**20)
+_BUDGET_LADDER = (_VMEM_BUDGET, 26 * 2**20, 48 * 2**20, 110 * 2**20)
 
 
 def _plan(n: int, d: int) -> tuple:
@@ -462,20 +463,25 @@ def _plan(n: int, d: int) -> tuple:
     padded) sequence length the kernels run at; fused=True means the
     one-program backward applies (single q-block); budget is the VMEM
     stack budget the plan was drawn from (> _VMEM_BUDGET ⇒ the kernels
-    must raise their per-kernel vmem_limit_bytes)."""
-    best = None
+    must raise their per-kernel vmem_limit_bytes).
+
+    The ladder keeps escalating past an acceptable PAIR plan in case a
+    later tier admits the fused plan (measured 17% faster at N=2048);
+    the earliest acceptable pair plan is the fallback."""
+    pair = None
     for budget in _BUDGET_LADDER:
         p = _plan_at(n, d, budget)
         if p is None:
             continue
-        best = (*p, budget)
-        n_proc, bq, bk, fused = p
-        # Good enough: fused single-program backward, or q-blocks big
-        # enough that whole-row K/V streaming amortizes.
-        if fused or bq >= (256 if budget == _VMEM_BUDGET else 512):
-            return best
-    if best is not None:
-        return best
+        if p[3]:  # fused — take it at the smallest tier that fits it
+            return (*p, budget)
+        # Remember the earliest pair plan with big-enough q-blocks (whole
+        # K/V rows amortize); tiny-block plans only as a last resort.
+        good = p[1] >= (256 if budget == _VMEM_BUDGET else 512)
+        if pair is None or (good and not pair[1]):
+            pair = ((*p, budget), good)
+    if pair is not None:
+        return pair[0]
     raise ValueError(
         f"flash_attention: no block plan fits even the "
         f"~{_BUDGET_LADDER[-1] >> 20} MB VMEM stack budget for N={n}, "
@@ -531,7 +537,7 @@ def _kernel_params(budget: float) -> pltpu.CompilerParams:
         return _PARALLEL_2D
     return pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel"),
-        vmem_limit_bytes=min(int(budget * 1.8), 100 * 2**20),
+        vmem_limit_bytes=min(int(budget * 1.8), 118 * 2**20),
     )
 
 
