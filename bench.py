@@ -62,6 +62,11 @@ def flops_per_volume(cfg) -> float:
     )
     patch = 2 * cfg.n_patches * d * cfg.patch_dim
     head = 2 * d * d + 2 * d * cfg.n_classes
+    if cfg.pool == "probe":
+        # MAP head: k/v projections run over all N tokens — 2·(2·N·D²)
+        # (~1.7% of forward at N=512); q/out projections and the 1-row
+        # attention itself are negligible but counted for completeness.
+        head += 2 * (2 * n * d * d) + 2 * (2 * n * d) + 2 * 2 * d * d
     return 3.0 * (L * per_layer + patch + head)
 
 
@@ -163,14 +168,16 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
 
 
 def bench_inference_throughput(batch: int = 128, steps: int = 60,
-                               gelu: str = "quick", pool: str = "probe"):
+                               gelu: str = "quick", pool: str = "probe",
+                               time_size: int = 128):
     """Serving-side diagnostic: eval-mode forward (no dropout, flash
     attention, bf16 compute) — what the exported StableHLO artifact runs.
     stderr only; the stdout contract stays one JSON line."""
     from neural_vit_tpu.core.config import CONFIGS
     from neural_vit_tpu.models.vit import Temporal3DViT
 
-    cfg = CONFIGS["small"].replace(gelu=gelu, pool=pool)
+    cfg = CONFIGS["small"].replace(gelu=gelu, pool=pool,
+                                   time_size=time_size)
     model = Temporal3DViT(cfg)
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -326,7 +333,8 @@ def main():
     except Exception as exc:  # diagnostics only — never break the JSON line
         log(f"preprocess bench failed: {exc}")
     try:
-        bench_inference_throughput()
+        bench_inference_throughput(gelu=args.gelu, pool=args.pool,
+                                   time_size=args.time_size)
     except Exception as exc:
         log(f"inference bench failed: {exc}")
 

@@ -437,9 +437,11 @@ class Temporal3DViT(nn.Module):
             probe = self.param(
                 "probe", trunc_init, (1, 1, cfg.embed_dim), pdtype
             )
-            # One query row against N keys/values: O(N·D + D²) — negligible
-            # next to the blocks, and it keeps the blocks' sequence at the
-            # bare lane-aligned patch grid.
+            # One query row against N keys/values. The k/v projections
+            # are O(N·D²) (~1.7% of a forward at N=512 — counted in
+            # bench.py's FLOPs model); the attention itself is one row.
+            # It keeps the blocks' sequence at the bare lane-aligned
+            # patch grid.
             pooled = nn.MultiHeadDotProductAttention(
                 num_heads=cfg.n_heads, dtype=dtype, param_dtype=pdtype,
                 kernel_init=trunc_init, deterministic=True,

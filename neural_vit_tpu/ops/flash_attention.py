@@ -455,7 +455,13 @@ def _plan_at(n: int, d: int, budget: float):
 # and raise the kernel's own limit via CompilerParams.vmem_limit_bytes
 # (v5e has 128 MiB VMEM; the per-kernel field is the only reliable channel
 # over the tunneled backend — TPU-only XLA_FLAGS abort the local process).
-_BUDGET_LADDER = (_VMEM_BUDGET, 26 * 2**20, 48 * 2**20, 110 * 2**20)
+# Top tier is bounded by compilability, not ambition: accepted plans model
+# their stack <= budget, Mosaic's real stack runs ~1.3x the model, and the
+# per-kernel limit tops out at 118 MiB (v5e VMEM is 128 MiB) — so the
+# largest safe budget is 118/1.3 ≈ 90 MiB. Anything the ladder accepts is
+# believed compilable; supported() must not admit shapes whose kernels
+# would then fail instead of falling back to XLA.
+_BUDGET_LADDER = (_VMEM_BUDGET, 26 * 2**20, 48 * 2**20, 90 * 2**20)
 
 
 def _plan(n: int, d: int) -> tuple:

@@ -41,9 +41,12 @@ def main():
                          "gate under the TPU perf formulations (artifact "
                          "gets a _<gelu> suffix so the erf record stays)")
     ap.add_argument("--pool", default="cls", choices=["cls", "mean", "probe"],
-                    help="'mean' = CLS-free mean-pool readout (the TPU perf "
-                         "configuration: lane-aligned token count); artifact "
-                         "gets a _mean suffix so the cls record stays")
+                    help="'probe' = MAP-head attention-pool readout (the TPU "
+                         "perf configuration: lane-aligned token count, "
+                         "gate-verified better than cls); 'mean' measured "
+                         "FAILING the gate — kept for the record. Non-cls "
+                         "artifacts get a _<pool> suffix so the cls record "
+                         "stays")
     args = ap.parse_args()
 
     from neural_vit_tpu.baselines import logreg
