@@ -172,6 +172,41 @@ def test_dropout_mask_identical_under_different_block_geometry(rng, monkeypatch)
     )
 
 
+def test_escalated_budget_fused_path_matches_xla(rng):
+    """The VMEM budget ladder: at N=1000/Dh=64 the base 13 MiB budget can't
+    hold the fused stacks but the 26 MiB tier can — the plan must be the
+    whole-row fused one, UNPADDED (whole-row blocks need no ×128
+    divisibility), and fwd+grads must match XLA."""
+    from neural_vit_tpu.ops.flash_attention import _VMEM_BUDGET, _plan
+
+    n = 1000
+    n_proc, bq, _, fused, budget = _plan(n, 64)
+    assert fused and n_proc == n and budget > _VMEM_BUDGET
+
+    q, k, v = _qkv(rng, b=1, n=n, h=1)
+    scale = 64 ** -0.5
+    ref, _ = xla_attention(q, k, v, scale)
+    out = flash_attention(q, k, v, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        def inner(q, k, v):
+            o = fn(q, k, v)
+            return jnp.sum(o * jnp.sin(o))
+        return inner
+
+    gf = jax.grad(loss(lambda *a: flash_attention(
+        *a, scale=scale, interpret=True)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda *a: xla_attention(*a, scale)[0]),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5,
+            err_msg=f"d{name} mismatch (escalated fused path)",
+        )
+
+
 def test_dropout_grad_uses_same_mask(rng):
     """Forward and backward must see an identical keep mask: the VJP of a
     fixed-seed dropout attention must match finite differences."""
