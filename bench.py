@@ -157,8 +157,8 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
     tflops = vols_per_sec * fpv / 1e12
     log(f"config: gelu={gelu} pool={pool} (N={cfg.seq_len}, T={time_size}) "
         f"batch={batch} scoped_vmem={scoped_vmem_kib} KiB"
-        + (" remat (MFU counts useful FLOPs; executed ≈ 4/3×)" if remat
-           else ""))
+        + (f" remat={remat} (MFU counts useful FLOPs; block remat "
+           f"executes ≈ 4/3×)" if remat else ""))
     log(f"batch={batch} steps={steps} time={dt:.3f}s "
         f"→ {vols_per_sec:,.0f} volumes/sec/chip (fwd+bwd+update)")
     log(f"implied {tflops:.1f} TFLOP/s at {fpv / 1e9:.1f} "
@@ -304,10 +304,12 @@ def main():
                     help="spectrogram time bins (488 = the production "
                          "126/116 pipeline output -> N=1952/1953 tokens; "
                          "pair with --remat and a smaller --batch)")
-    ap.add_argument("--remat", action="store_true",
-                    help="rematerialize blocks in backward (required at "
-                         "production dims alongside a device-resident "
-                         "dataset)")
+    ap.add_argument("--remat", nargs="?", const="block", default=False,
+                    choices=["block", "mlp"],
+                    help="rematerialize in backward (required at production "
+                         "dims alongside a device-resident dataset). Bare "
+                         "--remat = 'block'; 'mlp' recomputes only the MLP "
+                         "sub-block (no attention re-run — cheaper)")
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")

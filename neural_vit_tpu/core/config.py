@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Union
 
 
 @dataclass(frozen=True)
@@ -54,9 +54,18 @@ class Temporal3DViTConfig:
     use_flash_attention: bool = True   # Pallas kernel when available
     compute_dtype: str = "bfloat16"    # matmul/activation dtype on TPU
     param_dtype: str = "float32"       # parameter storage dtype
-    remat: bool = False                # rematerialize blocks in backward
-                                       # (trade ~30% FLOPs for O(layers)
-                                       # less activation HBM → bigger batch)
+    remat: Union[bool, str] = False    # rematerialize in backward:
+                                       # False/off, True/"block" = whole
+                                       # transformer blocks (max HBM relief,
+                                       # ~24% step cost at production dims —
+                                       # and it re-runs the flash fwd kernel
+                                       # even though the fused backward
+                                       # already recomputes attention probs
+                                       # internally); "mlp" = only the MLP
+                                       # sub-block (fc1/GELU/fc2 — the 8·D
+                                       # hidden planes, which dominate
+                                       # activation HBM; no attention
+                                       # recompute, measured far cheaper)
     gelu: str = "erf"                  # "erf" = exact torch parity;
                                        # "tanh" = standard fast approximation
                                        # (far fewer VPU ops; the usual ViT
@@ -129,6 +138,11 @@ class Temporal3DViTConfig:
         if self.pool not in ("cls", "mean", "probe"):
             raise ValueError(
                 f"pool must be 'cls', 'mean' or 'probe', got {self.pool!r}"
+            )
+        if self.remat not in (False, True, "block", "mlp"):
+            raise ValueError(
+                f"remat must be False, True, 'block' or 'mlp', "
+                f"got {self.remat!r}"
             )
         return self
 

@@ -302,7 +302,15 @@ class TransformerBlock(nn.Module):
         x = x + y
 
         y = norm("norm2")(x).astype(jnp.dtype(cfg.compute_dtype))
-        y = MLP(cfg, name="mlp")(y, deterministic)
+        # remat='mlp': recompute only fc1/GELU/fc2 in the backward pass.
+        # The MLP's two hidden (N, 4D) planes dominate activation HBM,
+        # while the flash-attention custom VJP already recomputes the
+        # attention internals from (qkv, o, lse) — so block-level remat's
+        # extra flash-forward re-run buys almost no memory that this
+        # doesn't, at several times the recompute cost.
+        mlp_cls = (nn.remat(MLP, static_argnums=(2,))
+                   if cfg.remat == "mlp" else MLP)
+        y = mlp_cls(cfg, name="mlp")(y, deterministic)
         if ls > 0:
             y = LayerScale(cfg.embed_dim, ls, name="ls2")(y)
         y = DropPath(self.drop_path_rate, name="drop_path2")(y, deterministic)
@@ -413,9 +421,10 @@ class Temporal3DViT(nn.Module):
         # Linear stochastic-depth decay (reference `model.py:227`).
         dpr = np.linspace(0.0, cfg.drop_path, cfg.n_layers)
         block_cls = TransformerBlock
-        if cfg.remat:
+        if cfg.remat in (True, "block"):
             # Recompute each block in the backward pass instead of saving
             # its activations (jax.checkpoint): O(n_layers) less HBM.
+            # (cfg.remat == "mlp" is handled inside TransformerBlock.)
             block_cls = nn.remat(TransformerBlock, static_argnums=(2, 3))
         for i in range(cfg.n_layers):
             x = block_cls(

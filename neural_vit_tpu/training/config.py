@@ -10,7 +10,7 @@ device string.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Union
 
 from neural_vit_tpu.data.loader import DataLoaderConfig
 from neural_vit_tpu.parallel.mesh import MeshSpec
@@ -78,7 +78,10 @@ class TrainConfig:
     seed: int = 0
     compute_dtype: str = "bfloat16"
     use_flash_attention: bool = True
-    remat: bool = False  # rematerialize transformer blocks in backward
+    remat: Union[bool, str] = False  # rematerialize in backward: True/
+                                     # "block" = whole blocks, "mlp" = only
+                                     # the MLP sub-block (cheaper; no
+                                     # attention recompute)
     gelu: str = "erf"            # "tanh" = fast approximation (see model cfg)
     norm_dtype: str = "float32"  # "bfloat16" = fast LayerNorm compute
     pool: str = "cls"            # "mean"/"probe" = CLS-free readouts: the

@@ -68,10 +68,13 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--pool", type=str, default="cls",
                         choices=["cls", "mean", "probe"])
     parser.add_argument("--scoped_vmem_limit_kib", type=int, default=None)
-    parser.add_argument("--remat", action="store_true",
-                        help="rematerialize transformer blocks in backward "
-                             "(fits production-dims N=1953 training on one "
-                             "16 GB chip)")
+    parser.add_argument("--remat", nargs="?", const="block", default=False,
+                        choices=["block", "mlp"],
+                        help="rematerialize in backward (fits production-"
+                             "dims N=1953 training on one 16 GB chip). "
+                             "Bare --remat = 'block' (whole blocks); "
+                             "--remat mlp recomputes only the MLP "
+                             "sub-block (cheaper, ~half the HBM relief)")
     parser.add_argument("--device_resident", action="store_true",
                         help="keep the whole split on device; batches are "
                              "jitted gathers (fastest when the split fits "

@@ -125,10 +125,12 @@ def test_bf16_default_config_runs_on_cpu():
     np.testing.assert_allclose(a, b, atol=0.15)  # bf16 mantissa error
 
 
-def test_remat_matches_no_remat():
-    """cfg.remat trades FLOPs for memory without changing values/grads."""
+@pytest.mark.parametrize("mode", [True, "mlp"])
+def test_remat_matches_no_remat(mode):
+    """cfg.remat (whole-block or MLP-only) trades FLOPs for memory
+    without changing values/grads."""
     model, variables, x = _init(TINY)
-    model_r = Temporal3DViT(TINY.replace(remat=True))
+    model_r = Temporal3DViT(TINY.replace(remat=mode))
     a = model.apply(variables, x)
     b = model_r.apply(variables, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
