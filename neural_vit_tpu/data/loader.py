@@ -410,6 +410,7 @@ class BatchIterator:
         self.shuffle = shuffle
         self.batch_sharding = batch_sharding
         self._epoch = 0
+        self._skip_next = 0
         self._device_resident = (
             cfg.device_resident and hasattr(dataset, "to_device")
         )
@@ -456,6 +457,13 @@ class BatchIterator:
         the exact batch order of the uninterrupted run."""
         self._epoch = epoch
 
+    def skip_next(self, n_batches: int) -> None:
+        """Skip the first `n_batches` of the NEXT epoch iterated (one-shot).
+        Mid-epoch preemption resume: the shuffle order is a pure function
+        of (seed, epoch), so dropping the batches already consumed before
+        the checkpoint replays the interrupted epoch step-exactly."""
+        self._skip_next = int(n_batches)
+
     def _host_batch(self, sel: np.ndarray):
         """Assemble one padded host batch (CPU-side work only — safe to run
         on the prefetch thread)."""
@@ -476,6 +484,9 @@ class BatchIterator:
         b = self.cfg.batch_size
         stop = (n // b) * b if self.cfg.drop_last else n
         starts = list(range(0, stop, b))
+        if self._skip_next:
+            starts = starts[self._skip_next:]
+            self._skip_next = 0
 
         def emit(prepared):
             idx, labels, mask, host_vol = prepared

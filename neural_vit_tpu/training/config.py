@@ -72,6 +72,12 @@ class TrainConfig:
     # worth raising (or 0 ⇒ off) on slow transports where it would tax every
     # epoch for runs that never get preempted.
     latest_checkpoint_every: int = 1  # 0 ⇒ no full-state checkpoints
+    # Catch SIGTERM (GCE/TPU-VM eviction) — or a programmatic
+    # `utils.preemption.request_preemption()` from a metadata watcher —
+    # checkpoint the full train state MID-EPOCH at the next step boundary
+    # (incl. the position inside the epoch), and exit cleanly. Resume from
+    # that checkpoint is step-exact. Requires an output_dir.
+    handle_preemption: bool = True
 
     # --- TPU execution ---
     mesh: MeshSpec = field(default_factory=MeshSpec)

@@ -54,6 +54,7 @@ from neural_vit_tpu.training.checkpoint import (
     save_train_checkpoint,
 )
 from neural_vit_tpu.training.config import TrainConfig
+from neural_vit_tpu.utils.preemption import PreemptionGuard
 from neural_vit_tpu.training.logging import (
     ExperimentLogger,
     build_run_id,
@@ -286,6 +287,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     # metrics, patience counter, and the dropout seed all continue.
     # Params-only checkpoint (best/final) ⇒ warm start, as before.
     start_epoch = 1
+    resume_skip = 0  # batches of start_epoch already consumed pre-preemption
     dropout_seed = cfg.seed + 1
     best = {"val_acc": 0.0, "val_auc": 0.0}
     epochs_without_improvement = 0
@@ -305,6 +307,10 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                 step=int(tree["step"]),
             )
             start_epoch = int(loop_state["epoch"]) + 1
+            # Mid-epoch (preemption) checkpoints record how many batches of
+            # the interrupted epoch were already stepped; skip exactly those
+            # on the first epoch iterated (shuffle is (seed, epoch)-pure).
+            resume_skip = int(loop_state.get("batch_in_epoch", 0))
             dropout_seed = int(loop_state["dropout_seed"])
             best = {"val_acc": float(loop_state["best_val_acc"]),
                     "val_auc": float(loop_state["best_val_auc"])}
@@ -375,15 +381,51 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     epochs_trained = start_epoch - 1
     history = []
     results: Dict = {}
+    preempted = False
     train_it.set_epoch(start_epoch - 1)  # replay the exact shuffle sequence
+    if resume_skip:
+        train_it.skip_next(resume_skip)
+        print(f"Mid-epoch resume: skipping the first {resume_skip} batches "
+              f"of epoch {start_epoch}")
+    # SIGTERM (TPU-VM eviction) → full-state checkpoint at the next step
+    # boundary + clean exit; paired with the try/finally below.
+    guard = PreemptionGuard(enabled=cfg.handle_preemption).__enter__()
     try:
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()
+            batch_base = resume_skip if epoch == start_epoch else 0
             metric_batches, label_batches = [], []
-            for vol, labels, mask in train_it:
+            for k, (vol, labels, mask) in enumerate(train_it):
                 state, m = train_step(state, vol, labels, mask, dropout_rng)
                 metric_batches.append(m)
                 label_batches.append((np.asarray(labels), mask))
+                if guard.requested:
+                    if checkpoint_dir:
+                        save_train_checkpoint(
+                            checkpoint_dir, "latest", state, model_config,
+                            loop_state={
+                                # Same convention as the epoch-end save:
+                                # "epoch" = last COMPLETED epoch; the extra
+                                # batch_in_epoch marks progress inside the
+                                # interrupted one.
+                                "epoch": epoch - 1,
+                                "batch_in_epoch": batch_base + k + 1,
+                                "dropout_seed": dropout_seed,
+                                "best_val_acc": best["val_acc"],
+                                "best_val_auc": best["val_auc"],
+                                "epochs_without_improvement":
+                                    epochs_without_improvement,
+                            },
+                        )
+                    preempted = True
+                    break
+            if preempted:
+                where = (f"{checkpoint_dir}/latest" if checkpoint_dir
+                         else "NOWHERE (no output_dir — state lost)")
+                print(f"Preemption requested: saved full train state "
+                      f"mid-epoch {epoch} (after {batch_base + k + 1} "
+                      f"batches) to {where}")
+                break
             tm = _finalize_epoch(metric_batches, label_batches)
             vm = evaluate(eval_step, state.params, val_it)
             dt = time.perf_counter() - t0
@@ -459,32 +501,51 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                 )
                 break
 
-        test_m = evaluate(eval_step, state.params, test_it)
-        logger.log_metrics(
-            {
-                "test/loss": test_m["loss"], "test/acc": test_m["acc"],
-                "test/auc": test_m["auc"],
-            },
-            step=cfg.epochs + 1,
-        )
-        print(
-            f"Test loss {test_m['loss']:.4f}, acc {test_m['acc']:.4f}, "
-            f"auc {test_m['auc']:.4f}"
-        )
-        results = {
-            "run_id": run_id,
-            "epochs_trained": epochs_trained,
-            "best_val_acc": best["val_acc"],
-            "best_val_auc": best["val_auc"],
-            "test_loss": test_m["loss"],
-            "test_acc": test_m["acc"],
-            "test_auc": test_m["auc"],
-            "history": history,
-            "n_params": n_params,
-        }
+        if preempted:
+            # Eviction grace windows are short: no test eval, no final
+            # params-only checkpoint — the "latest" full-state checkpoint
+            # above is the restart point.
+            results = {
+                "run_id": run_id,
+                "preempted": True,
+                "epochs_trained": epochs_trained,
+                "best_val_acc": best["val_acc"],
+                "best_val_auc": best["val_auc"],
+                "history": history,
+                "n_params": n_params,
+            }
+            if checkpoint_dir:
+                results["resume_checkpoint"] = f"{checkpoint_dir}/latest"
+        else:
+            test_m = evaluate(eval_step, state.params, test_it)
+            logger.log_metrics(
+                {
+                    "test/loss": test_m["loss"], "test/acc": test_m["acc"],
+                    "test/auc": test_m["auc"],
+                },
+                step=cfg.epochs + 1,
+            )
+            print(
+                f"Test loss {test_m['loss']:.4f}, acc {test_m['acc']:.4f}, "
+                f"auc {test_m['auc']:.4f}"
+            )
+            results = {
+                "run_id": run_id,
+                "epochs_trained": epochs_trained,
+                "best_val_acc": best["val_acc"],
+                "best_val_auc": best["val_auc"],
+                "test_loss": test_m["loss"],
+                "test_acc": test_m["acc"],
+                "test_auc": test_m["auc"],
+                "history": history,
+                "n_params": n_params,
+            }
     finally:
+        guard.__exit__()
         logger.close()
 
+    if preempted:
+        return results
     if checkpoint_dir:
         final = save_checkpoint(
             checkpoint_dir, "final", state.params, model_config,

@@ -211,6 +211,112 @@ def test_exact_resume_reproduces_uninterrupted_run(prepared_splits):
     assert resumed["test_auc"] == full["test_auc"]
 
 
+def test_midepoch_preemption_checkpoint_and_step_exact_resume(prepared_splits):
+    """Preemption MID-EPOCH (SIGTERM / request_preemption): the loop saves
+    the full train state after the in-flight step — including the position
+    inside the epoch — and exits without test eval; resuming skips exactly
+    the consumed batches and the remainder of training is bit-identical to
+    the uninterrupted run (same optimizer/step/dropout/shuffle streams)."""
+    from neural_vit_tpu.utils import preemption
+
+    tmp, out = prepared_splits
+    base = dict(
+        train_paths=[out["train"]], val_paths=[out["val"]],
+        test_paths=[out["test"]], output_dir=str(tmp / "runs4"),
+        lr=1e-3, n_trials=4, stride=2, model_size="tiny",
+        embed_dim=64, n_heads=2, n_layers=2,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        # Dropout ON: proves the per-step RNG stream continues exactly.
+        dropout=0.1, attention_dropout=0.0, drop_path=0.1,
+        use_cosine_schedule=True, warmup_epochs=1, epochs=3,
+        loader=DataLoaderConfig(batch_size=16),
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    full = train(TrainConfig(**base, run_name="pfull"))
+
+    # The guard is sticky: a request pending before the run starts fires
+    # at the first step boundary — deterministic mid-epoch preemption
+    # (epoch 1 after exactly 1 batch).
+    preemption.request_preemption()
+    try:
+        pre = train(TrainConfig(**base, run_name="ppart"))
+    finally:
+        preemption.clear_preemption()
+    assert pre.get("preempted") is True
+    assert "test_auc" not in pre  # grace window: no test eval
+    assert pre["resume_checkpoint"].endswith("/latest")
+
+    resumed = train(TrainConfig(**base, run_name="ppart-resumed",
+                                resume_from=pre["resume_checkpoint"]))
+    assert [h["epoch"] for h in resumed["history"]] == [1, 2, 3]
+    # Epoch-end params are identical despite the interruption ⇒ val metrics
+    # match on EVERY epoch; train metrics match from epoch 2 on (the resumed
+    # epoch 1's train aggregates only cover the post-resume batches).
+    for h_resumed, h_full in zip(resumed["history"], full["history"]):
+        keys = ("val/loss", "val/acc", "val/auc")
+        if h_full["epoch"] > 1:
+            keys += ("train/loss", "train/acc", "train/auc")
+        for key in keys:
+            np.testing.assert_allclose(
+                h_resumed[key], h_full[key], rtol=0, atol=0,
+                err_msg=f"epoch {h_full['epoch']} {key} diverged after "
+                        f"mid-epoch preemption resume",
+            )
+    assert resumed["test_auc"] == full["test_auc"]
+    assert resumed["test_acc"] == full["test_acc"]
+
+
+def test_preemption_guard_catches_sigterm():
+    """The guard installs SIGTERM → request flag and restores the previous
+    handler on exit."""
+    import os
+    import signal
+
+    from neural_vit_tpu.utils.preemption import (
+        PreemptionGuard,
+        clear_preemption,
+        preemption_requested,
+    )
+
+    clear_preemption()
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard():
+        assert not preemption_requested()
+        os.kill(os.getpid(), signal.SIGTERM)
+        # Signal delivery is synchronous for a self-kill in CPython (the
+        # handler runs before os.kill returns to bytecode).
+        assert preemption_requested()
+    assert signal.getsignal(signal.SIGTERM) is before
+    clear_preemption()
+    # Disabled guard is a no-op.
+    with PreemptionGuard(enabled=False):
+        assert signal.getsignal(signal.SIGTERM) is before
+
+
+def test_batch_iterator_skip_next(prepared_splits):
+    """skip_next(k) drops exactly the first k batches of the next epoch
+    and affects only that epoch."""
+    from neural_vit_tpu.data.loader import build_dataloaders
+
+    _, out = prepared_splits
+    it, _, _, _ = build_dataloaders(
+        [out["train"]], [out["val"]], [out["test"]],
+        n_trials=4, stride=2,
+        loader_cfg=DataLoaderConfig(batch_size=16),
+    )
+    it.set_epoch(0)
+    ref = [np.asarray(l) for _, l, _ in it]
+    it.set_epoch(0)
+    it.skip_next(2)
+    skipped = [np.asarray(l) for _, l, _ in it]
+    assert len(skipped) == len(ref) - 2
+    for a, b in zip(skipped, ref[2:]):
+        np.testing.assert_array_equal(a, b)
+    it.set_epoch(0)  # one-shot: next epoch is complete again
+    again = [np.asarray(l) for _, l, _ in it]
+    assert len(again) == len(ref)
+
+
 def test_training_rejects_bad_config():
     with pytest.raises(ValueError):
         train(TrainConfig())
