@@ -169,10 +169,12 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
 
 def bench_inference_throughput(batch: int = 128, steps: int = 60,
                                gelu: str = "quick", pool: str = "probe",
-                               time_size: int = 128):
+                               time_size: int = 128, int8: bool = False):
     """Serving-side diagnostic: eval-mode forward (no dropout, flash
     attention, bf16 compute) — what the exported StableHLO artifact runs.
-    stderr only; the stdout contract stays one JSON line."""
+    int8=True additionally times the quantized path (serving/quantize.py:
+    int8 GEMM weights + dynamic int8 activations; MXU int8 peak is 2×
+    bf16). stderr only; the stdout contract stays one JSON line."""
     from neural_vit_tpu.core.config import CONFIGS
     from neural_vit_tpu.models.vit import Temporal3DViT
 
@@ -190,18 +192,30 @@ def bench_inference_throughput(batch: int = 128, steps: int = 60,
     def infer(params, x):
         return model.apply({"params": params}, x, train=False)
 
-    logits = infer(params, x)
-    float(logits[0, 0])  # value fetch = execution fence
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        logits = infer(params, x)
-    float(logits[0, 0])
-    dt = time.perf_counter() - t0
-    vps = batch * steps / dt
+    def timed(fn, *args):
+        logits = fn(*args)
+        float(logits[0, 0])  # value fetch = execution fence
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            logits = fn(*args)
+        float(logits[0, 0])
+        return batch * steps / (time.perf_counter() - t0)
+
+    vps = timed(infer, params, x)
     fwd_flops = flops_per_volume(cfg) / 3.0  # bwd ≈ 2× fwd
     log(f"inference (eval fwd, batch {batch}): {vps:,.0f} volumes/sec/chip, "
         f"implied {vps * fwd_flops / 1e12:.1f} TFLOP/s "
         f"({100 * vps * fwd_flops / 1e12 / PEAK_TFLOPS:.1f}% MFU)")
+    if int8:
+        from neural_vit_tpu.serving.quantize import make_quantized_forward
+
+        fwd_q, _ = make_quantized_forward(model, params)
+        vps_q = timed(jax.jit(fwd_q), x)
+        log(f"inference int8 (quantized GEMMs, batch {batch}): "
+            f"{vps_q:,.0f} volumes/sec/chip "
+            f"({100 * (vps_q - vps) / vps:+.1f}% vs bf16; useful-FLOP MFU "
+            f"{100 * vps_q * fwd_flops / 1e12 / PEAK_TFLOPS:.1f}% of bf16 "
+            f"peak, int8 MXU peak is 2×)")
     return vps
 
 
@@ -300,6 +314,9 @@ def main():
                          "default; re-sweep after layout changes)")
     ap.add_argument("--train-only", action="store_true",
                     help="skip the preprocess/inference stderr diagnostics")
+    ap.add_argument("--int8", action="store_true",
+                    help="also time the int8-quantized serving forward "
+                         "(serving/quantize.py) in the inference diagnostic")
     ap.add_argument("--time-size", type=int, default=128,
                     help="spectrogram time bins (488 = the production "
                          "126/116 pipeline output -> N=1952/1953 tokens; "
@@ -336,7 +353,8 @@ def main():
         log(f"preprocess bench failed: {exc}")
     try:
         bench_inference_throughput(gelu=args.gelu, pool=args.pool,
-                                   time_size=args.time_size)
+                                   time_size=args.time_size,
+                                   int8=args.int8)
     except Exception as exc:
         log(f"inference bench failed: {exc}")
 

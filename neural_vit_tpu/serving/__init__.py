@@ -4,3 +4,7 @@ from neural_vit_tpu.serving.export import (  # noqa: F401
     load_exported,
     save_exported,
 )
+from neural_vit_tpu.serving.quantize import (  # noqa: F401
+    make_quantized_forward,
+    quantize_dense_tree,
+)

@@ -39,7 +39,8 @@ _PLATFORMS = ("cpu", "tpu")
 
 
 def _build_exported(params, config: Temporal3DViTConfig,
-                    platforms: Sequence[str]) -> "jax_export.Exported":
+                    platforms: Sequence[str],
+                    quantize: Optional[str] = None) -> "jax_export.Exported":
     """Lower eval-mode apply with weights closed over (→ HLO constants)."""
     from neural_vit_tpu.models.vit import Temporal3DViT
 
@@ -52,8 +53,19 @@ def _build_exported(params, config: Temporal3DViTConfig,
     model = Temporal3DViT(config)
     params = jax.device_get(params)  # bake host copies, not device buffers
 
-    def infer(x):
-        return model.apply({"params": params}, x, train=False)
+    if quantize == "int8":
+        # GEMMs run int8×int8→int32 on the MXU (serving/quantize.py);
+        # the intercepted kernels' f32 weights are never traced, so the
+        # artifact bakes int8 constants (≈4× smaller, ~2× MXU rate).
+        from neural_vit_tpu.serving.quantize import make_quantized_forward
+
+        infer, _ = make_quantized_forward(model, params)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
+    else:
+        def infer(x):
+            return model.apply({"params": params}, x, train=False)
 
     (b,) = jax_export.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct(
@@ -73,9 +85,10 @@ def save_exported(
     platforms: Sequence[str] = _PLATFORMS,
     class_names: Sequence[str] = ("WT", "FMR1"),
     extra: Optional[dict] = None,
+    quantize: Optional[str] = None,
 ) -> str:
     """Export eval-mode inference to `path` (+ `path.json` sidecar)."""
-    exported = _build_exported(params, config, platforms)
+    exported = _build_exported(params, config, platforms, quantize=quantize)
     data = exported.serialize()
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     with open(path, "wb") as f:
@@ -89,6 +102,7 @@ def save_exported(
         "class_names": list(class_names),
         "model_config": dataclasses.asdict(config),
         "bytes": len(data),
+        "quantize": quantize,
     }
     if extra:
         sidecar["extra"] = extra
@@ -136,6 +150,7 @@ def export_checkpoint(
     out_path: str,
     *,
     platforms: Sequence[str] = _PLATFORMS,
+    quantize: Optional[str] = None,
 ) -> str:
     """Restore `{params, config}` from an Orbax checkpoint (best/final, as
     written by the train loop) and export it for serving."""
@@ -143,6 +158,7 @@ def export_checkpoint(
 
     params, config, extra = restore_checkpoint(checkpoint_dir, name)
     return save_exported(out_path, params, config, platforms=platforms,
+                         quantize=quantize,
                          extra={"checkpoint": f"{checkpoint_dir}/{name}",
                                 **({"checkpoint_extra": extra} if extra
                                    else {})})
@@ -158,9 +174,14 @@ def main(argv=None):  # pragma: no cover - thin CLI
     ap.add_argument("--name", default="final")
     ap.add_argument("--out", required=True)
     ap.add_argument("--platforms", nargs="+", default=list(_PLATFORMS))
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="post-training quantization of the GEMMs "
+                         "(serving/quantize.py): int8 weights + dynamic "
+                         "int8 activations, ≈4× smaller artifact")
     args = ap.parse_args(argv)
     path = export_checkpoint(args.checkpoint_dir, args.name, args.out,
-                             platforms=args.platforms)
+                             platforms=args.platforms,
+                             quantize=args.quantize)
     print(f"exported: {path} (+ {path}.json)")
 
 
