@@ -54,7 +54,10 @@ from neural_vit_tpu.training.checkpoint import (
     save_train_checkpoint,
 )
 from neural_vit_tpu.training.config import TrainConfig
-from neural_vit_tpu.utils.preemption import PreemptionGuard
+from neural_vit_tpu.utils.preemption import (
+    PreemptionGuard,
+    start_preemption_watcher,
+)
 from neural_vit_tpu.training.logging import (
     ExperimentLogger,
     build_run_id,
@@ -388,8 +391,13 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
         print(f"Mid-epoch resume: skipping the first {resume_skip} batches "
               f"of epoch {start_epoch}")
     # SIGTERM (TPU-VM eviction) → full-state checkpoint at the next step
-    # boundary + clean exit; paired with the try/finally below.
+    # boundary + clean exit; paired with the try/finally below. On real TPU
+    # hardware a metadata watcher additionally catches GCE maintenance
+    # events announced ahead of the signal (daemon thread; exits by itself
+    # off-GCE).
     guard = PreemptionGuard(enabled=cfg.handle_preemption).__enter__()
+    if cfg.handle_preemption and on_tpu:
+        start_preemption_watcher()
     try:
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.perf_counter()

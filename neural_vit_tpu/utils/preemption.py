@@ -46,6 +46,62 @@ def preemption_requested() -> bool:
     return _requested.is_set()
 
 
+def _gce_maintenance_poll(timeout_s: float = 2.0) -> Optional[str]:
+    """One poll of the GCE metadata maintenance-event endpoint. Returns the
+    event string ("NONE" when idle), or None when the metadata server is
+    unreachable (not on GCE)."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        "http://metadata.google.internal/computeMetadata/v1/instance/"
+        "maintenance-event",
+        headers={"Metadata-Flavor": "Google"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.read().decode("utf-8").strip()
+    except Exception:
+        return None
+
+
+def start_preemption_watcher(
+    poll=None,
+    interval_s: float = 5.0,
+    max_failures: int = 3,
+) -> threading.Thread:
+    """Background watcher: SIGTERM is not the only eviction signal on GCE —
+    host maintenance is announced ahead of time on the metadata server.
+    Polls `poll()` (default: the GCE maintenance-event endpoint) every
+    `interval_s`; any value other than "NONE"/"" triggers
+    `request_preemption()`. `max_failures` consecutive unreachable polls
+    mean we are not on GCE — the daemon thread exits quietly.
+
+    Returns the (daemon) thread; callers may join it in tests."""
+    poll = poll or _gce_maintenance_poll
+
+    def watch():
+        failures = 0
+        while True:
+            value = poll()
+            if value is None:
+                failures += 1
+                if failures >= max_failures:
+                    return  # not on GCE — stop polling
+            else:
+                failures = 0
+                if value not in ("NONE", ""):
+                    request_preemption()
+                    return
+            if _requested.wait(interval_s):
+                return  # preempted via another path — nothing left to watch
+
+    thread = threading.Thread(
+        target=watch, name="preemption-watcher", daemon=True
+    )
+    thread.start()
+    return thread
+
+
 class PreemptionGuard:
     """Context manager installing SIGTERM → `request_preemption()`.
 

@@ -293,6 +293,30 @@ def test_preemption_guard_catches_sigterm():
         assert signal.getsignal(signal.SIGTERM) is before
 
 
+def test_preemption_watcher_poll_paths():
+    """The metadata watcher fires on a maintenance event, tolerates
+    transient failures, and exits quietly when not on GCE."""
+    from neural_vit_tpu.utils.preemption import (
+        clear_preemption,
+        preemption_requested,
+        start_preemption_watcher,
+    )
+
+    clear_preemption()
+    events = iter(["NONE", None, "TERMINATE_ON_HOST_MAINTENANCE"])
+    t = start_preemption_watcher(poll=lambda: next(events),
+                                 interval_s=0.01)
+    t.join(timeout=10)
+    assert not t.is_alive() and preemption_requested()
+    clear_preemption()
+
+    # Unreachable metadata server (not on GCE): exits without requesting.
+    t = start_preemption_watcher(poll=lambda: None, interval_s=0.01,
+                                 max_failures=2)
+    t.join(timeout=10)
+    assert not t.is_alive() and not preemption_requested()
+
+
 def test_batch_iterator_skip_next(prepared_splits):
     """skip_next(k) drops exactly the first k batches of the next epoch
     and affects only that epoch."""
