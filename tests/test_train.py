@@ -149,6 +149,37 @@ def test_end_to_end_training_tiny(prepared_splits):
     test_recs = [r for r in records if "test/auc" in r]
     assert len(test_recs) == 1
 
+    # int8 PTQ quality gate on a TRAINED model (random-init logit tests in
+    # test_serving.py can't see accumulation error through learned
+    # features): quantized test-set probabilities track f32, and the AUC
+    # of the served int8 model matches the trained model's.
+    from sklearn.metrics import roc_auc_score
+
+    from neural_vit_tpu.data.loader import build_dataloaders
+    from neural_vit_tpu.models.vit import Temporal3DViT
+    from neural_vit_tpu.serving.quantize import make_quantized_forward
+
+    model = Temporal3DViT(model_cfg.replace(use_flash_attention=False))
+    fwd_q, _ = make_quantized_forward(model, params)
+    _, _, test_it, _ = build_dataloaders(
+        [out["train"]], [out["val"]], [out["test"]],
+        n_trials=4, stride=2, loader_cfg=DataLoaderConfig(batch_size=16),
+    )
+    p_f32, p_int8, labels = [], [], []
+    for vol, lab, mask in test_it:
+        lf = model.apply({"params": params}, vol, train=False)
+        lq = fwd_q(vol)
+        keep = mask.astype(bool)
+        p_f32.append(np.asarray(jax.nn.softmax(lf, -1))[keep, 1])
+        p_int8.append(np.asarray(jax.nn.softmax(lq, -1))[keep, 1])
+        labels.append(np.asarray(lab)[keep])
+    p_f32, p_int8 = np.concatenate(p_f32), np.concatenate(p_int8)
+    labels = np.concatenate(labels)
+    assert np.abs(p_f32 - p_int8).max() < 0.05
+    auc_f32 = roc_auc_score(labels, p_f32)
+    auc_int8 = roc_auc_score(labels, p_int8)
+    assert abs(auc_f32 - auc_int8) < 0.02, (auc_f32, auc_int8)
+
 
 def test_resume_from_checkpoint(prepared_splits):
     tmp, out = prepared_splits
