@@ -1,11 +1,18 @@
 """Post-training int8 quantization for serving.
 
-The v5e MXU runs int8×int8→int32 at 2× the bf16 rate (394 vs 197 TOPS),
-and eval-mode inference of this model is compute-bound (~69% MFU in
-bf16, `bench.py` inference diagnostic) — so weight+activation int8 is a
-genuine speed lever for deployment, not just a footprint one. The
-reference has no deployment path at all (SURVEY §5); this module extends
-`serving/export.py`'s StableHLO artifacts with a quantized variant.
+The v5e MXU runs int8×int8→int32 at 2× the bf16 rate (394 vs 197 TOPS).
+**Measured result at this model's size (D=384, batch 128): int8 serving
+is a FOOTPRINT lever, not a latency one** — 6,690 vs bf16's 7,525
+volumes/sec (−11.1%), even though the optimized-HLO audit confirms all
+34 quantized GEMMs lower to s8×s8→s32 MXU convolutions. The dynamic
+per-row activation quantization (VPU absmax reduce + round/clip, plus
+the int32→f32 rescale traffic) costs more than the halved MXU time
+saves on GEMMs this small; at larger D the balance would flip. What
+int8 does buy here is the ≈4× smaller baked-constant artifact and the
+served-quality gate (trained-model int8 AUC within 0.02 of f32,
+`tests/test_serving.py`). The reference has no deployment path at all
+(SURVEY §5); this module extends `serving/export.py`'s StableHLO
+artifacts with the quantized variant.
 
 Scheme (standard transformer PTQ):
   * Weights: symmetric per-output-channel int8 — `scale_o = max|W[:,o]|/127`,
