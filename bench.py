@@ -77,7 +77,8 @@ def log(*a):
 def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
                            gelu: str = "quick", scoped_vmem_kib: int = 26624,
                            tiled: bool = False, pool: str = "probe",
-                           time_size: int = 128, remat: bool = False):
+                           time_size: int = 128, remat: bool = False,
+                           model_size: str = "small"):
     # batch 128 is the measured best single-chip operating point
     # (sweep, r2: 64→1345, 96→1394, 128→1456, 192→1278, 256→1409 v/s);
     # under data parallelism the global batch is per-chip × n_chips, so
@@ -88,7 +89,7 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
     from neural_vit_tpu.models.vit import Temporal3DViT
     from neural_vit_tpu.training.loop import TrainState, make_step_fns
 
-    cfg = CONFIGS["small"].replace(
+    cfg = CONFIGS[model_size].replace(
         dropout=0.2, attention_dropout=0.1, drop_path=0.1, gelu=gelu,
         pool=pool, time_size=time_size, remat=remat,
     )
@@ -155,7 +156,7 @@ def bench_train_throughput(batch: int = 128, steps: int = 40, warmup: int = 5,
     vols_per_sec = batch * steps / dt
     fpv = flops_per_volume(cfg)
     tflops = vols_per_sec * fpv / 1e12
-    log(f"config: gelu={gelu} pool={pool} (N={cfg.seq_len}, T={time_size}) "
+    log(f"config: {model_size} gelu={gelu} pool={pool} (N={cfg.seq_len}, T={time_size}) "
         f"batch={batch} scoped_vmem={scoped_vmem_kib} KiB"
         + (f" remat={remat} (MFU counts useful FLOPs; block remat "
            f"executes ≈ 4/3×)" if remat else ""))
@@ -296,6 +297,10 @@ def main():
                     help="feed the loader's pre-tiled bf16 patch layout "
                          "(DataLoaderConfig.tile_patches) instead of raw "
                          "(B, K, F, T) volumes")
+    ap.add_argument("--model", default="small",
+                    choices=["tiny", "small", "base"],
+                    help="registry variant to bench (the contract metric "
+                         "is always the 'small' default)")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--gelu", default="quick", choices=["quick", "tanh", "erf"])
@@ -336,11 +341,11 @@ def main():
     value = bench_train_throughput(
         batch=args.batch, steps=args.steps, gelu=args.gelu,
         scoped_vmem_kib=args.vmem_kib, tiled=args.tiled, pool=args.pool,
-        time_size=args.time_size, remat=args.remat,
+        time_size=args.time_size, remat=args.remat, model_size=args.model,
     )
     target = 5000.0
     print(json.dumps({
-        "metric": "train_throughput_small_vit_fwd_bwd",
+        "metric": f"train_throughput_{args.model}_vit_fwd_bwd",
         "value": round(value, 1),
         "unit": "volumes/sec/chip",
         "vs_baseline": round(value / target, 3),

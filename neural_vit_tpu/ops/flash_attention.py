@@ -513,7 +513,15 @@ def _staged_ok(bq: int, n: int, d: int, kind: str,
 
 
 def supported(n: int, d: int) -> bool:
-    """True iff a VMEM block plan exists for (sequence, embed) = (n, d)."""
+    """True iff the kernels can run at (sequence, embed) = (n, d):
+    a VMEM block plan exists AND the packed-qkv block slices are
+    lane-legal. Every kernel carves the packed (B, N, 3D) array into
+    D-wide thirds at the HBM→VMEM boundary, and Mosaic requires a block's
+    last dimension to be a multiple of 128 lanes (or the full array dim)
+    — so D must be 128-aligned ('small' 384 and 'base' 512 are; 'tiny'
+    192 is not and dispatches to the XLA path)."""
+    if d % 128 != 0:
+        return False
     try:
         _plan(n, d)
         return True

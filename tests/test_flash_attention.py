@@ -242,6 +242,13 @@ def test_unsupported_shape_reports_and_dispatch_falls_back(rng):
     with pytest.raises(ValueError, match="no block plan"):
         _plan(24576, 384)
 
+    # Lane legality: every kernel slices the packed (B, N, 3D) array into
+    # D-wide thirds, and Mosaic requires block last-dims to be 128-lane
+    # multiples — D=192 ('tiny') must dispatch to XLA, not raise in
+    # pallas_call (regression: bench --model tiny).
+    assert not supported(512, 192)
+    assert supported(512, 512)    # 'base' is lane-legal
+
     # Dispatch on CPU exercises the XLA branch for any shape; the
     # supported() check guards the TPU branch (same code path).
     from neural_vit_tpu.ops.attention import multi_head_attention_qkv
