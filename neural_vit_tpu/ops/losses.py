@@ -31,6 +31,38 @@ def class_weights_from_counts(counts: np.ndarray) -> np.ndarray:
     return np.where(counts > 0, weights, 0.0).astype(np.float32)
 
 
+def weighted_smoothed_cross_entropy_sums(
+    logits: jax.Array,
+    labels: jax.Array,
+    class_weights: Optional[jax.Array] = None,
+    label_smoothing: float = 0.0,
+    sample_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Un-normalized form: (Σ_i loss_i, Σ_i w_{y_i}).
+
+    The sums are what gradient accumulation needs — summing them across
+    microbatches and dividing once reproduces the big-batch weighted mean
+    (and its gradient) exactly, which per-microbatch means would not
+    (torch's weighted-mean denominator is the Σ of target-class weights,
+    so microbatch means have different denominators)."""
+    n_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+    q = (1.0 - label_smoothing) * onehot + label_smoothing / n_classes
+    if class_weights is None:
+        per_sample = -jnp.sum(q * logp, axis=-1)
+        sample_w = jnp.ones(logits.shape[0], jnp.float32)
+    else:
+        w = jnp.asarray(class_weights, dtype=jnp.float32)
+        per_sample = -jnp.sum(q * w[None, :] * logp, axis=-1)
+        sample_w = w[labels]
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)
+        per_sample = per_sample * m
+        sample_w = sample_w * m
+    return jnp.sum(per_sample), jnp.sum(sample_w)
+
+
 def weighted_smoothed_cross_entropy(
     logits: jax.Array,
     labels: jax.Array,
@@ -52,22 +84,10 @@ def weighted_smoothed_cross_entropy(
     Returns:
         scalar loss.
     """
-    n_classes = logits.shape[-1]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
-    q = (1.0 - label_smoothing) * onehot + label_smoothing / n_classes
-    if class_weights is None:
-        per_sample = -jnp.sum(q * logp, axis=-1)
-        sample_w = jnp.ones(logits.shape[0], jnp.float32)
-    else:
-        w = jnp.asarray(class_weights, dtype=jnp.float32)
-        per_sample = -jnp.sum(q * w[None, :] * logp, axis=-1)
-        sample_w = w[labels]
-    if sample_mask is not None:
-        m = sample_mask.astype(jnp.float32)
-        per_sample = per_sample * m
-        sample_w = sample_w * m
-    return jnp.sum(per_sample) / jnp.maximum(jnp.sum(sample_w), 1e-12)
+    loss_sum, weight_sum = weighted_smoothed_cross_entropy_sums(
+        logits, labels, class_weights, label_smoothing, sample_mask
+    )
+    return loss_sum / jnp.maximum(weight_sum, 1e-12)
 
 
 def accuracy_and_probs(

@@ -82,6 +82,12 @@ class TrainConfig:
     # --- TPU execution ---
     mesh: MeshSpec = field(default_factory=MeshSpec)
     seed: int = 0
+    # Gradient accumulation: split each batch into this many microbatches
+    # scanned inside the jitted step (activation memory ÷ grad_accum_steps;
+    # the update is numerically the big-batch update — loss/weight sums
+    # normalize once, see ops/losses.py). An HBM lever alongside `remat`
+    # for long-sequence / large-model configs; 1 = off.
+    grad_accum_steps: int = 1
     compute_dtype: str = "bfloat16"
     use_flash_attention: bool = True
     remat: Union[bool, str] = False  # rematerialize in backward: True/

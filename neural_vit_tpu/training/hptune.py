@@ -75,6 +75,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                              "Bare --remat = 'block' (whole blocks); "
                              "--remat mlp recomputes only the MLP "
                              "sub-block (cheaper, ~half the HBM relief)")
+    parser.add_argument("--grad_accum_steps", type=int, default=1,
+                        help="split each batch into this many microbatches "
+                             "scanned inside the jitted step (activation "
+                             "HBM ÷ steps; the update is numerically the "
+                             "big-batch update). An alternative/complement "
+                             "to --remat for memory-tight configs")
     parser.add_argument("--device_resident", action="store_true",
                         help="keep the whole split on device; batches are "
                              "jitted gathers (fastest when the split fits "
@@ -136,6 +142,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         pool=getattr(args, "pool", "cls"),
         scoped_vmem_limit_kib=getattr(args, "scoped_vmem_limit_kib", None),
         remat=getattr(args, "remat", False),
+        grad_accum_steps=getattr(args, "grad_accum_steps", 1),
     )
 
 

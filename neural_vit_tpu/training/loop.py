@@ -40,6 +40,7 @@ from neural_vit_tpu.models.vit import Temporal3DViT
 from neural_vit_tpu.ops.losses import (
     class_weights_from_counts,
     weighted_smoothed_cross_entropy,
+    weighted_smoothed_cross_entropy_sums,
 )
 from neural_vit_tpu.parallel.mesh import (
     batch_sharding,
@@ -105,7 +106,8 @@ def infer_input_dims(dataset) -> Tuple[int, int]:
 
 
 def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
-                  compiler_options: Optional[dict] = None):
+                  compiler_options: Optional[dict] = None,
+                  grad_accum: int = 1):
     """Build jitted train/eval steps. Both return per-batch metric arrays:
     {loss_sum, correct, n_valid, probs} — probabilities stay on device for a
     single per-epoch host transfer.
@@ -113,7 +115,14 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
     compiler_options: optional per-compile XLA overrides (e.g.
     {"xla_tpu_scoped_vmem_limit_kib": "32768"}). They travel with the
     executable, so they work over remote backends where TPU-only entries
-    in the XLA_FLAGS env var would abort the local process."""
+    in the XLA_FLAGS env var would abort the local process.
+
+    grad_accum: microbatch count for gradient accumulation. The batch is
+    split into `grad_accum` equal microbatches scanned inside the one
+    jitted step (activation memory drops ~grad_accum×); loss/weight SUMS
+    accumulate across microbatches and normalize once, so the update is
+    numerically the big-batch update, not a mean-of-means (torch weighted
+    CE divides by the Σ of target-class weights — see ops/losses.py)."""
     cw = jnp.asarray(class_weights) if class_weights is not None else None
 
     def _metrics(logits, labels, mask, loss):
@@ -136,18 +145,70 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
         # no host sync on state.step.
         rng = jax.random.fold_in(base_rng, state.step)
 
-        def loss_fn(params):
-            logits = model.apply(
-                {"params": params}, vol, train=True, rngs={"dropout": rng}
-            )
-            loss = weighted_smoothed_cross_entropy(
-                logits, labels, cw, label_smoothing, sample_mask=mask
-            )
-            return loss, logits
+        if grad_accum == 1:
+            def loss_fn(params):
+                logits = model.apply(
+                    {"params": params}, vol, train=True, rngs={"dropout": rng}
+                )
+                loss = weighted_smoothed_cross_entropy(
+                    logits, labels, cw, label_smoothing, sample_mask=mask
+                )
+                return loss, logits
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            state = state.apply_gradients(grads=grads)
+            return state, _metrics(logits, labels, mask, loss)
+
+        # Gradient accumulation: scan `grad_accum` microbatches, carrying
+        # grad/loss/weight SUMS; normalize once by the total target-class
+        # weight so the update equals the big-batch update exactly.
+        if vol.shape[0] % grad_accum:
+            raise ValueError(
+                f"batch {vol.shape[0]} not divisible by grad_accum="
+                f"{grad_accum}"
+            )
+        micro = vol.shape[0] // grad_accum
+
+        def split(x):
+            return x.reshape((grad_accum, micro) + x.shape[1:])
+
+        def loss_sums(params, mv, ml, mm, mrng):
+            logits = model.apply(
+                {"params": params}, mv, train=True, rngs={"dropout": mrng}
+            )
+            ls, ws = weighted_smoothed_cross_entropy_sums(
+                logits, ml, cw, label_smoothing, sample_mask=mm
+            )
+            return ls, (ws, logits)
+
+        def body(carry, xs):
+            gsum, lsum, wsum = carry
+            mv, ml, mm, i = xs
+            (ls, (ws, logits)), g = jax.value_and_grad(
+                loss_sums, has_aux=True
+            )(state.params, mv, ml, mm, jax.random.fold_in(rng, i))
+            carry = (
+                jax.tree_util.tree_map(jnp.add, gsum, g),
+                lsum + ls,
+                wsum + ws,
+            )
+            return carry, logits
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, p.dtype), state.params
         )
+        (gsum, lsum, wsum), logits = jax.lax.scan(
+            body,
+            (zeros, jnp.float32(0.0), jnp.float32(0.0)),
+            (split(vol), split(labels), split(mask),
+             jnp.arange(grad_accum, dtype=jnp.uint32)),
+        )
+        denom = jnp.maximum(wsum, 1e-12)
+        grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
+        loss = lsum / denom
+        logits = logits.reshape((vol.shape[0],) + logits.shape[2:])
         state = state.apply_gradients(grads=grads)
         return state, _metrics(logits, labels, mask, loss)
 
@@ -350,6 +411,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             {"xla_tpu_scoped_vmem_limit_kib": str(cfg.scoped_vmem_limit_kib)}
             if (cfg.scoped_vmem_limit_kib and on_tpu) else None
         ),
+        grad_accum=cfg.grad_accum_steps,
     )
 
     # ---- logging / checkpoints (reference train.py:172-204) ----

@@ -89,6 +89,59 @@ def test_masked_loss_ignores_padding(rng):
     np.testing.assert_allclose(float(full), float(masked), rtol=1e-6)
 
 
+def test_grad_accum_matches_big_batch(rng):
+    """A grad_accum=4 step must produce the SAME updated params, loss, and
+    metrics as the plain big-batch step: the scan accumulates loss/weight
+    SUMS and normalizes once by the total target-class weight (microbatch
+    means would use different denominators under torch's weighted CE).
+    Dropout rates are zero so both paths see identical randomness-free
+    forwards; masked padding rows exercise the weight-sum path."""
+    import optax
+
+    from neural_vit_tpu.core.config import Temporal3DViTConfig
+    from neural_vit_tpu.models.vit import Temporal3DViT
+    from neural_vit_tpu.training.loop import TrainState, make_step_fns
+
+    cfg = Temporal3DViTConfig(
+        n_trials=4, freq_size=16, time_size=32,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        embed_dim=64, n_heads=2, n_layers=2,
+        dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    model = Temporal3DViT(cfg)
+    x = jnp.asarray(
+        rng.standard_normal((8, cfg.n_trials, cfg.freq_size, cfg.time_size)),
+        jnp.float32,
+    )
+    y = jnp.asarray(rng.integers(0, 2, 8))
+    mask = jnp.asarray([1, 1, 1, 1, 1, 1, 0, 0], jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    cw = np.array([0.7, 1.9], np.float32)
+    key = jax.random.key(3)
+
+    def run(accum):
+        step, _ = make_step_fns(model, cw, 0.05, grad_accum=accum)
+        state = TrainState.create(
+            apply_fn=model.apply,
+            # donate_argnums deletes the state's buffers — fresh copies per run
+            params=jax.tree_util.tree_map(jnp.copy, params),
+            tx=optax.adamw(1e-3),
+        )
+        state, metrics = step(state, x, y, mask, key)
+        return state, jax.device_get(metrics)
+
+    s1, m1 = run(1)
+    s4, m4 = run(4)
+    for k in ("loss_sum", "correct", "n_valid"):
+        np.testing.assert_allclose(m1[k], m4[k], rtol=1e-5)
+    np.testing.assert_allclose(m1["probs"], m4["probs"], rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
+        jax.device_get(s1.params), jax.device_get(s4.params),
+    )
+
+
 def test_end_to_end_training_tiny(prepared_splits):
     tmp, out = prepared_splits
     cfg = TrainConfig(
