@@ -29,6 +29,29 @@ def _abs(path: str) -> str:
     return os.path.abspath(path)
 
 
+# One process-wide async checkpointer for non-blocking saves: save()
+# returns once the state is snapshotted to host memory; serialization and
+# the (possibly gs://) writes continue on a background thread, so epoch
+# N+1 computes while epoch N's "latest" checkpoint is still committing.
+_ASYNC_CKPTR: Optional[ocp.StandardCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.StandardCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every pending async save has committed. Call before
+    process exit — a preemption grace window must not race the writer
+    thread, and an uncommitted Orbax save is discarded (tmp dir), not
+    corrupted."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     directory: str,
     name: str,
@@ -94,11 +117,26 @@ def save_train_checkpoint(
     state,
     model_config: Temporal3DViTConfig,
     loop_state: dict,
+    block: bool = True,
 ) -> str:
-    """Save the full TrainState + loop bookkeeping under `<directory>/<name>`."""
+    """Save the full TrainState + loop bookkeeping under `<directory>/<name>`.
+
+    block=False returns as soon as the state is snapshotted to host; the
+    write commits on a background thread (Orbax writes to a tmp dir and
+    renames, so the previous checkpoint at `name` stays restorable until
+    the new one is complete). Call `wait_for_saves()` before process exit.
+    """
     path = f"{_abs(directory).rstrip('/')}/{name}"
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(_state_tree(state)), force=True)
+    tree = jax.device_get(_state_tree(state))
+    # Drain any in-flight async save first — two writers on the same
+    # checkpoint name (e.g. a blocking preemption save racing the previous
+    # epoch's async "latest") must never overlap.
+    wait_for_saves()
+    if block:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, tree, force=True)
+    else:
+        _async_checkpointer().save(path, tree, force=True)
     payload = dataclasses.asdict(model_config)
     payload["_loop"] = loop_state
     write_json(f"{path}_config.json", payload)

@@ -53,6 +53,7 @@ from neural_vit_tpu.training.checkpoint import (
     restore_train_checkpoint,
     save_checkpoint,
     save_train_checkpoint,
+    wait_for_saves,
 )
 from neural_vit_tpu.training.config import TrainConfig
 from neural_vit_tpu.utils.preemption import (
@@ -550,6 +551,10 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                 and cfg.latest_checkpoint_every > 0
                 and epoch % cfg.latest_checkpoint_every == 0
             ):
+                # Non-blocking: the next epoch computes while this commits
+                # on the writer thread (wait_for_saves() in the finally —
+                # and the mid-epoch preemption save above stays blocking,
+                # because that grace window must not race the writer).
                 save_train_checkpoint(
                     checkpoint_dir, "latest", state, model_config,
                     loop_state={
@@ -559,6 +564,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                         "best_val_auc": best["val_auc"],
                         "epochs_without_improvement": epochs_without_improvement,
                     },
+                    block=False,
                 )
 
             if (
@@ -611,6 +617,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                 "n_params": n_params,
             }
     finally:
+        wait_for_saves()  # async "latest" saves must commit before exit
         guard.__exit__()
         logger.close()
 

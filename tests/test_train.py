@@ -89,6 +89,50 @@ def test_masked_loss_ignores_padding(rng):
     np.testing.assert_allclose(float(full), float(masked), rtol=1e-6)
 
 
+def test_async_train_checkpoint_round_trips(rng, tmp_path):
+    """block=False must return before the write commits and, after
+    wait_for_saves(), restore the identical full state; a second save to
+    the same name must drain the first (no overlapping writers)."""
+    import optax
+
+    from neural_vit_tpu.core.config import Temporal3DViTConfig
+    from neural_vit_tpu.models.vit import Temporal3DViT
+    from neural_vit_tpu.training.checkpoint import (
+        restore_train_checkpoint,
+        save_train_checkpoint,
+        wait_for_saves,
+    )
+    from neural_vit_tpu.training.loop import TrainState
+
+    cfg = Temporal3DViTConfig(
+        n_trials=4, freq_size=16, time_size=32,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        embed_dim=64, n_heads=2, n_layers=2,
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    model = Temporal3DViT(cfg)
+    x = jnp.zeros((2, cfg.n_trials, cfg.freq_size, cfg.time_size), jnp.float32)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=model.init(jax.random.key(0), x)["params"],
+        tx=optax.adamw(1e-3),
+    )
+    for tag in (1, 2):  # second save drains the first
+        save_train_checkpoint(
+            str(tmp_path), "latest", state, cfg,
+            loop_state={"epoch": tag, "dropout_seed": 0}, block=False,
+        )
+    wait_for_saves()
+    tree, rcfg, loop_state = restore_train_checkpoint(
+        str(tmp_path), "latest", state
+    )
+    assert loop_state["epoch"] == 2 and rcfg == cfg
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        jax.device_get(state.params), tree["params"],
+    )
+
+
 def test_grad_accum_matches_big_batch(rng):
     """A grad_accum=4 step must produce the SAME updated params, loss, and
     metrics as the plain big-batch step: the scan accumulates loss/weight
