@@ -107,8 +107,16 @@ def restore_checkpoint(
 
 
 def _state_tree(state):
-    return {"params": state.params, "opt_state": state.opt_state,
+    tree = {"params": state.params, "opt_state": state.opt_state,
             "step": state.step}
+    # EMA shadow params travel with the full state when enabled, so an
+    # exact resume continues the same average. Save and resume configs
+    # must agree on ema_decay>0 (the restore target is built from the
+    # fresh state, and Orbax requires matching tree structure).
+    ema = getattr(state, "ema_params", None)
+    if ema is not None:
+        tree["ema_params"] = ema
+    return tree
 
 
 def save_train_checkpoint(

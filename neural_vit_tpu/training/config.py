@@ -58,6 +58,14 @@ class TrainConfig:
     min_lr: float = 1e-6
     early_stopping_patience: int = 0  # 0 ⇒ disabled
 
+    # Exponential moving average of the params (0 ⇒ off). When on, the
+    # jitted train step also advances an EMA shadow copy (decay·ema +
+    # (1−decay)·params — fused into the same XLA program, no extra
+    # dispatch), and val/test/best-checkpoints consume the shadow instead
+    # of the raw params. A quality lever the reference lacks; standard for
+    # production ViT training (e.g. 0.999). Costs 1× param bytes of HBM.
+    ema_decay: float = 0.0
+
     # --- checkpointing ---
     checkpoint_metric: str = "val_acc"  # train.py uses val_acc; hptune val_auc
     # Resume: "<dir>/<name>" of a saved checkpoint (no load path exists in

@@ -81,6 +81,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                              "HBM ÷ steps; the update is numerically the "
                              "big-batch update). An alternative/complement "
                              "to --remat for memory-tight configs")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="exponential-moving-average decay for a shadow "
+                             "copy of the params (0 = off); val/test/best-"
+                             "checkpoints consume the shadow when on")
     parser.add_argument("--device_resident", action="store_true",
                         help="keep the whole split on device; batches are "
                              "jitted gathers (fastest when the split fits "
@@ -143,6 +147,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         scoped_vmem_limit_kib=getattr(args, "scoped_vmem_limit_kib", None),
         remat=getattr(args, "remat", False),
         grad_accum_steps=getattr(args, "grad_accum_steps", 1),
+        ema_decay=getattr(args, "ema_decay", 0.0),
     )
 
 

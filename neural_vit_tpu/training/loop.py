@@ -72,7 +72,9 @@ from neural_vit_tpu.training.schedule import (
 
 
 class TrainState(train_state.TrainState):
-    pass
+    # Exponential moving average of params (None = EMA off). Updated
+    # inside the jitted step; val/test/checkpoints consume it when enabled.
+    ema_params: Optional[dict] = None
 
 
 def build_model_config(cfg: TrainConfig, freq_size: int, time_size: int) -> Temporal3DViTConfig:
@@ -108,7 +110,7 @@ def infer_input_dims(dataset) -> Tuple[int, int]:
 
 def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
                   compiler_options: Optional[dict] = None,
-                  grad_accum: int = 1):
+                  grad_accum: int = 1, ema_decay: float = 0.0):
     """Build jitted train/eval steps. Both return per-batch metric arrays:
     {loss_sum, correct, n_valid, probs} — probabilities stay on device for a
     single per-epoch host transfer.
@@ -123,8 +125,22 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
     jitted step (activation memory drops ~grad_accum×); loss/weight SUMS
     accumulate across microbatches and normalize once, so the update is
     numerically the big-batch update, not a mean-of-means (torch weighted
-    CE divides by the Σ of target-class weights — see ops/losses.py)."""
+    CE divides by the Σ of target-class weights — see ops/losses.py).
+
+    ema_decay: when > 0, the step also advances `state.ema_params`
+    (initialize it to the params — `TrainState.create(..., ema_params=
+    params)`): ema ← decay·ema + (1−decay)·params, fused into the same
+    XLA program as the optimizer update."""
     cw = jnp.asarray(class_weights) if class_weights is not None else None
+
+    def _advance_ema(state: TrainState) -> TrainState:
+        if ema_decay <= 0.0 or state.ema_params is None:
+            return state
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+            state.ema_params, state.params,
+        )
+        return state.replace(ema_params=new_ema)
 
     def _metrics(logits, labels, mask, loss):
         m = mask.astype(jnp.float32)
@@ -159,7 +175,7 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params
             )
-            state = state.apply_gradients(grads=grads)
+            state = _advance_ema(state.apply_gradients(grads=grads))
             return state, _metrics(logits, labels, mask, loss)
 
         # Gradient accumulation: scan `grad_accum` microbatches, carrying
@@ -210,7 +226,7 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
         grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
         loss = lsum / denom
         logits = logits.reshape((vol.shape[0],) + logits.shape[2:])
-        state = state.apply_gradients(grads=grads)
+        state = _advance_ema(state.apply_gradients(grads=grads))
         return state, _metrics(logits, labels, mask, loss)
 
     @partial(jax.jit, compiler_options=compiler_options)
@@ -343,8 +359,14 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     print(f"Model parameters: {n_params:,}")
 
     state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=tx
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        ema_params=(jax.tree_util.tree_map(jnp.copy, variables["params"])
+                    if cfg.ema_decay > 0 else None),
     )
+
+    def eval_params(s: TrainState):
+        """What val/test/checkpoints consume: the EMA shadow when enabled."""
+        return s.ema_params if cfg.ema_decay > 0 else s.params
 
     # ---- resume ----
     # Full-state checkpoint ("latest") ⇒ EXACT resume: optimizer moments,
@@ -370,6 +392,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             state = state.replace(
                 params=tree["params"], opt_state=tree["opt_state"],
                 step=int(tree["step"]),
+                ema_params=tree.get("ema_params", state.ema_params),
             )
             start_epoch = int(loop_state["epoch"]) + 1
             # Mid-epoch (preemption) checkpoints record how many batches of
@@ -413,6 +436,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             if (cfg.scoped_vmem_limit_kib and on_tpu) else None
         ),
         grad_accum=cfg.grad_accum_steps,
+        ema_decay=cfg.ema_decay,
     )
 
     # ---- logging / checkpoints (reference train.py:172-204) ----
@@ -498,7 +522,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                       f"batches) to {where}")
                 break
             tm = _finalize_epoch(metric_batches, label_batches)
-            vm = evaluate(eval_step, state.params, val_it)
+            vm = evaluate(eval_step, eval_params(state), val_it)
             dt = time.perf_counter() - t0
             epochs_trained = epoch
 
@@ -533,7 +557,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                 if checkpoint_dir:
                     best_ckpt = save_checkpoint(
                         checkpoint_dir, f"best_epoch_{epoch}",
-                        state.params, model_config,
+                        eval_params(state), model_config,
                         extra={"epoch": epoch, "val_acc": vm["acc"],
                                "val_auc": vm["auc"]},
                     )
@@ -593,7 +617,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             if checkpoint_dir:
                 results["resume_checkpoint"] = f"{checkpoint_dir}/latest"
         else:
-            test_m = evaluate(eval_step, state.params, test_it)
+            test_m = evaluate(eval_step, eval_params(state), test_it)
             logger.log_metrics(
                 {
                     "test/loss": test_m["loss"], "test/acc": test_m["acc"],
@@ -625,7 +649,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
         return results
     if checkpoint_dir:
         final = save_checkpoint(
-            checkpoint_dir, "final", state.params, model_config,
+            checkpoint_dir, "final", eval_params(state), model_config,
             extra={"best_val_acc": best["val_acc"], "best_val_auc": best["val_auc"]},
         )
         results["final_checkpoint"] = final

@@ -186,6 +186,74 @@ def test_grad_accum_matches_big_batch(rng):
     )
 
 
+def test_ema_matches_hand_computed_shadow(rng, tmp_path):
+    """With ema_decay on, the jitted step must advance ema ← d·ema +
+    (1−d)·params using the POST-update params each step (hand-recomputed
+    here from the param trajectory), and the full-state checkpoint must
+    round-trip the shadow so an exact resume continues the same average."""
+    import optax
+
+    from neural_vit_tpu.core.config import Temporal3DViTConfig
+    from neural_vit_tpu.models.vit import Temporal3DViT
+    from neural_vit_tpu.training.checkpoint import (
+        restore_train_checkpoint,
+        save_train_checkpoint,
+    )
+    from neural_vit_tpu.training.loop import TrainState, make_step_fns
+
+    cfg = Temporal3DViTConfig(
+        n_trials=4, freq_size=16, time_size=32,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        embed_dim=64, n_heads=2, n_layers=2,
+        dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    model = Temporal3DViT(cfg)
+    x = jnp.asarray(
+        rng.standard_normal((4, cfg.n_trials, cfg.freq_size, cfg.time_size)),
+        jnp.float32,
+    )
+    y = jnp.asarray(rng.integers(0, 2, 4))
+    mask = jnp.ones(4, jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    decay = 0.5  # big (1-d) so drift is far above tolerance
+    step, _ = make_step_fns(model, None, 0.0, ema_decay=decay)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=jax.tree_util.tree_map(jnp.copy, params),
+        tx=optax.adamw(1e-3),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+    )
+    expected = jax.device_get(params)
+    key = jax.random.key(3)
+    for _ in range(3):
+        state, _m = step(state, x, y, mask, key)
+        expected = jax.tree_util.tree_map(
+            lambda e, p: e * decay + p * (1.0 - decay),
+            expected, jax.device_get(state.params),
+        )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        jax.device_get(state.ema_params), expected,
+    )
+    # The shadow must actually lag the raw params (it is a distinct tree).
+    deltas = jax.tree_util.tree_map(
+        lambda e, p: float(np.max(np.abs(e - p))),
+        jax.device_get(state.ema_params), jax.device_get(state.params),
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) > 1e-6
+
+    save_train_checkpoint(
+        str(tmp_path), "latest", state, cfg,
+        loop_state={"epoch": 1, "dropout_seed": 0},
+    )
+    tree, _rcfg, _ls = restore_train_checkpoint(str(tmp_path), "latest", state)
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        jax.device_get(state.ema_params), tree["ema_params"],
+    )
+
+
 def test_end_to_end_training_tiny(prepared_splits):
     tmp, out = prepared_splits
     cfg = TrainConfig(
