@@ -343,12 +343,14 @@ def main():
         scoped_vmem_kib=args.vmem_kib, tiled=args.tiled, pool=args.pool,
         time_size=args.time_size, remat=args.remat, model_size=args.model,
     )
-    target = 5000.0
+    # The 5k north-star is defined for the 'small' contract config only
+    # (BASELINE.md) — a ratio against it is meaningless for tiny/base.
+    target = 5000.0 if args.model == "small" else None
     print(json.dumps({
         "metric": f"train_throughput_{args.model}_vit_fwd_bwd",
         "value": round(value, 1),
         "unit": "volumes/sec/chip",
-        "vs_baseline": round(value / target, 3),
+        "vs_baseline": round(value / target, 3) if target else None,
     }), flush=True)
     if args.train_only:
         return

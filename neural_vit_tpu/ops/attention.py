@@ -162,6 +162,21 @@ def tp_multi_head_attention_qkv3(
     if n_heads % tp != 0:
         raise ValueError(f"{n_heads} heads not divisible by model={tp}")
     h_local = n_heads // tp
+    if use_flash and _on_tpu():
+        from neural_vit_tpu.ops.flash_attention import supported
+
+        if not supported(n, d // tp):
+            # Loud, not silent: this is a per-shard perf cliff, not an error.
+            import warnings
+
+            warnings.warn(
+                f"flash attention unsupported at per-shard dims (N={n}, "
+                f"D/tp={d // tp}): packed-qkv block slices need D/tp % 128 "
+                "== 0, so every TP shard takes the XLA attention path "
+                "('small' D=384 keeps flash at tp∈{1,3}; 'base' D=512 at "
+                "tp∈{1,2,4}). See docs/SCALING.md.",
+                stacklevel=2,
+            )
     if dropout_rng is None:
         dropout_rng = jax.random.key(0)  # unused: deterministic or rate 0
 

@@ -77,7 +77,16 @@ def restore_checkpoint(
 ) -> Tuple[dict, Temporal3DViTConfig, dict]:
     """Restore (params, model_config, extra) from `<directory>/<name>`."""
     path = f"{_abs(directory).rstrip('/')}/{name}"
-    payload = read_json(f"{path}_config.json")
+    try:
+        payload = read_json(f"{path}_config.json")
+    except Exception:
+        # Full-state checkpoints live in alternating slot dirs
+        # (`<name>.0`/`<name>.1`) — resolve the newest complete one so
+        # offline eval / serving export can consume a "latest" too.
+        resolved = resolve_train_checkpoint(path)
+        if resolved is None:
+            raise
+        path, payload = resolved[0], dict(resolved[1])
     extra = payload.pop("_extra", {})
     # Full-state checkpoints (save_train_checkpoint) store
     # {params, opt_state, step}; slice out the params subtree so offline
@@ -104,6 +113,60 @@ def restore_checkpoint(
 # (epoch, best metrics, patience, seed). `save_train_checkpoint` stores the
 # whole thing; `is_train_checkpoint` lets the loop distinguish a full-state
 # checkpoint (exact resume) from a params-only one (warm start).
+#
+# Crash safety: Orbax's `force=True` deletes the existing directory at
+# `save()` start (synchronously, even for async saves) — so repeatedly
+# saving to ONE name means a hard kill mid-commit (OOM, power loss, a
+# preemption without SIGTERM grace) loses the previous checkpoint too.
+# Full-state saves therefore ALTERNATE between two slot directories
+# (`<name>.0` / `<name>.1`): the newer slot is written while the older one
+# stays intact, so at least one complete checkpoint always exists. Restore
+# resolves `<name>` to the newest slot that (a) committed (Orbax's final
+# directory is created by atomic rename locally / carries
+# commit_success.txt on GCS) and (b) whose sidecar matches the saved tree
+# (global_step cross-check — the sidecar and the tree are separate writes).
+
+
+def _slot_candidates(path: str):
+    """Slot paths for a logical full-state checkpoint name, plus the bare
+    path for checkpoints written before slotting existed."""
+    return (f"{path}.0", f"{path}.1", path)
+
+
+def _is_committed(path: str) -> bool:
+    """True if an Orbax checkpoint directory at `path` finished committing."""
+    from etils import epath
+
+    p = epath.Path(path)
+    if not p.exists():
+        return False
+    if path.startswith("gs://"):
+        # GCS has no atomic rename; Orbax marks completion with a file.
+        return (p / "commit_success.txt").exists()
+    return True
+
+
+def _read_slot(path: str):
+    """(sidecar payload, save_seq) if `path` holds a complete full-state
+    checkpoint, else None."""
+    try:
+        payload = read_json(f"{path}_config.json")
+    except Exception:
+        return None
+    if "_loop" not in payload or not _is_committed(path):
+        return None
+    seq = payload["_loop"].get("save_seq", [0, 0.0])
+    return payload, tuple(seq)
+
+
+def resolve_train_checkpoint(path: str):
+    """Newest complete slot for logical checkpoint `path`, or None."""
+    best = None
+    for cand in _slot_candidates(_abs(path)):
+        info = _read_slot(cand)
+        if info is not None and (best is None or info[1] > best[2]):
+            best = (cand, info[0], info[1])
+    return best
 
 
 def _state_tree(state):
@@ -130,33 +193,43 @@ def save_train_checkpoint(
     """Save the full TrainState + loop bookkeeping under `<directory>/<name>`.
 
     block=False returns as soon as the state is snapshotted to host; the
-    write commits on a background thread (Orbax writes to a tmp dir and
-    renames, so the previous checkpoint at `name` stays restorable until
-    the new one is complete). Call `wait_for_saves()` before process exit.
+    write commits on a background thread. Successive saves alternate
+    between `<name>.0` and `<name>.1` so the previous checkpoint stays
+    restorable even through a hard kill mid-commit (see module notes).
+    Call `wait_for_saves()` before process exit.
     """
+    import time as _time
+
     path = f"{_abs(directory).rstrip('/')}/{name}"
     tree = jax.device_get(_state_tree(state))
     # Drain any in-flight async save first — two writers on the same
     # checkpoint name (e.g. a blocking preemption save racing the previous
     # epoch's async "latest") must never overlap.
     wait_for_saves()
+    # Pick the slot NOT holding the newest complete checkpoint.
+    current = resolve_train_checkpoint(path)
+    slot = f"{path}.1" if (current and current[0] == f"{path}.0") else f"{path}.0"
+    step = int(tree["step"])
+    loop_state = dict(
+        loop_state,
+        # Ordering key for slot resolution + sidecar↔tree pairing check.
+        save_seq=[step, _time.time()],
+        global_step=step,
+    )
     if block:
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, tree, force=True)
+            ckptr.save(slot, tree, force=True)
     else:
-        _async_checkpointer().save(path, tree, force=True)
+        _async_checkpointer().save(slot, tree, force=True)
     payload = dataclasses.asdict(model_config)
     payload["_loop"] = loop_state
-    write_json(f"{path}_config.json", payload)
+    write_json(f"{slot}_config.json", payload)
     return path
 
 
 def is_train_checkpoint(path: str) -> bool:
-    """True if `<path>` was written by save_train_checkpoint."""
-    try:
-        return "_loop" in read_json(f"{_abs(path)}_config.json")
-    except Exception:
-        return False
+    """True if `<path>` holds a complete full-state checkpoint (any slot)."""
+    return resolve_train_checkpoint(path) is not None
 
 
 def restore_train_checkpoint(
@@ -164,13 +237,35 @@ def restore_train_checkpoint(
     name: str,
     abstract_state,
 ) -> Tuple[dict, Temporal3DViTConfig, dict]:
-    """Restore ({params, opt_state, step}, model_config, loop_state)."""
+    """Restore ({params, opt_state, step}, model_config, loop_state) from the
+    newest complete slot of `<directory>/<name>`. Slots whose sidecar and
+    tree disagree (a crash landed between the two writes) are skipped in
+    favor of the older complete one."""
     path = f"{_abs(directory).rstrip('/')}/{name}"
-    payload = read_json(f"{path}_config.json")
-    loop_state = payload.pop("_loop")
-    payload.pop("_extra", None)
-    config = Temporal3DViTConfig(**payload)
     abstract = jax.eval_shape(lambda: _state_tree(abstract_state))
-    with ocp.StandardCheckpointer() as ckptr:
-        tree = ckptr.restore(path, abstract)
-    return tree, config, loop_state
+    candidates = []
+    for cand in _slot_candidates(path):
+        info = _read_slot(cand)
+        if info is not None:
+            candidates.append((info[1], cand, info[0]))
+    candidates.sort(reverse=True)
+    last_err: Optional[Exception] = None
+    for _seq, slot, payload in candidates:
+        payload = dict(payload)
+        loop_state = payload.pop("_loop")
+        payload.pop("_extra", None)
+        config = Temporal3DViTConfig(**payload)
+        try:
+            with ocp.StandardCheckpointer() as ckptr:
+                tree = ckptr.restore(slot, abstract)
+        except Exception as exc:  # partially-committed slot — try the next
+            last_err = exc
+            continue
+        expect = loop_state.get("global_step")
+        if expect is not None and int(tree["step"]) != int(expect):
+            continue  # sidecar belongs to a different (lost) save
+        return tree, config, loop_state
+    raise FileNotFoundError(
+        f"No complete full-state checkpoint at {path}"
+        + (f" (last error: {last_err})" if last_err else "")
+    )

@@ -188,6 +188,13 @@ def train_with_hptune(
         report_metric(hpt, "val_auc", metrics["val_auc"], epoch)
 
     results = train(cfg, epoch_callback=on_epoch)
+    if results.get("preempted"):
+        # The trial was evicted mid-run: there is no test eval, and the
+        # grace window is short — exit cleanly so the "latest" checkpoint
+        # commit is the last thing this process does.
+        print(f"Trial preempted after {results['epochs_trained']} epochs; "
+              f"resume from {results.get('resume_checkpoint', 'N/A')}")
+        return results
     # Final test AUC report (reference train_hptune.py:504).
     report_metric(hpt, "test_auc", results["test_auc"], cfg.epochs + 1)
     print(f"Training complete. Best val AUC: {results['best_val_auc']:.4f}")

@@ -259,9 +259,14 @@ def _finalize_epoch(metric_batches, label_batches) -> Dict[str, float]:
         auc = float(roc_auc_score(labels, probs))
     except ValueError:
         auc = float("nan")
+    if total == 0.0:
+        # Zero samples this pass (e.g. a mid-epoch resume that had already
+        # consumed every batch of the interrupted epoch): loss/acc of 0.0
+        # would read as a perfect epoch — report NaN instead.
+        return {"loss": float("nan"), "acc": float("nan"), "auc": auc}
     return {
-        "loss": loss_sum / max(total, 1.0),
-        "acc": correct / max(total, 1.0),
+        "loss": loss_sum / total,
+        "acc": correct / total,
         "auc": auc,
     }
 
@@ -417,7 +422,14 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                     "Checkpoint model config does not match the configured "
                     f"model: {restored_cfg} vs {model_config}"
                 )
-            state = state.replace(params=params)
+            state = state.replace(
+                params=params,
+                # Re-seed the EMA shadow from the restored params — leaving
+                # it at the fresh random init would contaminate every eval
+                # for ~1/(1-decay) steps.
+                ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                            if cfg.ema_decay > 0 else None),
+            )
             print(f"Warm-started params from {cfg.resume_from} (extra: {extra})")
 
     dropout_rng = jax.random.key(dropout_seed, impl=cfg.prng_impl)
@@ -521,6 +533,12 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                       f"mid-epoch {epoch} (after {batch_base + k + 1} "
                       f"batches) to {where}")
                 break
+            if epoch == start_epoch and resume_skip and not metric_batches:
+                print(
+                    f"Mid-epoch resume: epoch {epoch}'s train batches were "
+                    "all stepped before preemption — train metrics for this "
+                    "epoch are NaN (val metrics below are real)"
+                )
             tm = _finalize_epoch(metric_batches, label_batches)
             vm = evaluate(eval_step, eval_params(state), val_it)
             dt = time.perf_counter() - t0

@@ -64,6 +64,10 @@ def _gce_maintenance_poll(timeout_s: float = 2.0) -> Optional[str]:
         return None
 
 
+_default_watcher: Optional[threading.Thread] = None
+_default_watcher_lock = threading.Lock()
+
+
 def start_preemption_watcher(
     poll=None,
     interval_s: float = 5.0,
@@ -76,7 +80,22 @@ def start_preemption_watcher(
     `request_preemption()`. `max_failures` consecutive unreachable polls
     mean we are not on GCE — the daemon thread exits quietly.
 
+    With the default poll, one watcher per process: repeat calls (e.g. an
+    in-process HP sweep running train() per trial) return the live thread
+    instead of stacking pollers against the metadata endpoint.
+
     Returns the (daemon) thread; callers may join it in tests."""
+    if poll is None:
+        global _default_watcher
+        with _default_watcher_lock:
+            if _default_watcher is not None and _default_watcher.is_alive():
+                return _default_watcher
+            _default_watcher = start_preemption_watcher(
+                poll=_gce_maintenance_poll,
+                interval_s=interval_s,
+                max_failures=max_failures,
+            )
+            return _default_watcher
     poll = poll or _gce_maintenance_poll
 
     def watch():

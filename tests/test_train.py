@@ -133,6 +133,71 @@ def test_async_train_checkpoint_round_trips(rng, tmp_path):
     )
 
 
+def test_train_checkpoint_survives_crash_mid_commit(rng, tmp_path):
+    """Full-state saves alternate between two slot dirs so a hard kill
+    mid-commit (Orbax force=True rmtree's the target before writing) can
+    never destroy the previous checkpoint. Simulate the two crash windows:
+    (a) the new slot's tree vanished (killed between rmtree and commit) and
+    (b) the sidecar no longer matches the tree (killed between the two
+    writes) — both must fall back to the older complete checkpoint."""
+    import json
+    import shutil
+
+    import optax
+
+    from neural_vit_tpu.core.config import Temporal3DViTConfig
+    from neural_vit_tpu.models.vit import Temporal3DViT
+    from neural_vit_tpu.training.checkpoint import (
+        is_train_checkpoint,
+        restore_train_checkpoint,
+        save_train_checkpoint,
+    )
+    from neural_vit_tpu.training.loop import TrainState
+
+    cfg = Temporal3DViTConfig(
+        n_trials=4, freq_size=16, time_size=32,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        embed_dim=64, n_heads=2, n_layers=2,
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    model = Temporal3DViT(cfg)
+    x = jnp.zeros((2, cfg.n_trials, cfg.freq_size, cfg.time_size), jnp.float32)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=model.init(jax.random.key(0), x)["params"],
+        tx=optax.adamw(1e-3),
+    )
+    save_train_checkpoint(str(tmp_path), "latest", state, cfg,
+                          loop_state={"epoch": 1, "dropout_seed": 0})
+    state2 = state.replace(step=state.step + 7)
+    save_train_checkpoint(str(tmp_path), "latest", state2, cfg,
+                          loop_state={"epoch": 2, "dropout_seed": 0})
+    slots = sorted(p.name for p in tmp_path.iterdir())
+    assert "latest.0" in slots and "latest.1" in slots
+
+    # (a) newest slot's Orbax tree gone: restore must yield epoch-1 state.
+    newest = next(p for p in tmp_path.iterdir()
+                  if p.is_dir() and json.loads(
+                      (tmp_path / f"{p.name}_config.json").read_text()
+                  )["_loop"]["epoch"] == 2)
+    shutil.rmtree(newest)
+    assert is_train_checkpoint(str(tmp_path / "latest"))
+    tree, _, loop_state = restore_train_checkpoint(str(tmp_path), "latest", state)
+    assert loop_state["epoch"] == 1 and int(tree["step"]) == int(state.step)
+
+    # (b) a fresh save whose sidecar disagrees with its tree (stale sidecar
+    # from a lost older save): the global_step cross-check must reject it.
+    save_train_checkpoint(str(tmp_path), "latest", state2, cfg,
+                          loop_state={"epoch": 3, "dropout_seed": 0})
+    side = next(p for p in tmp_path.glob("latest.*_config.json")
+                if json.loads(p.read_text())["_loop"]["epoch"] == 3)
+    payload = json.loads(side.read_text())
+    payload["_loop"]["global_step"] = int(state2.step) + 999
+    side.write_text(json.dumps(payload))
+    tree, _, loop_state = restore_train_checkpoint(str(tmp_path), "latest", state)
+    assert loop_state["epoch"] == 1  # poisoned epoch-3 slot skipped
+
+
 def test_grad_accum_matches_big_batch(rng):
     """A grad_accum=4 step must produce the SAME updated params, loss, and
     metrics as the plain big-batch step: the scan accumulates loss/weight
