@@ -17,7 +17,6 @@ same per-head order, only issue order differs).
 
 import argparse
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -229,12 +228,12 @@ def staged_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret,
     return out, lse
 
 
+# Measurement rules shared by every flash perf script live in _timing.py.
+from _timing import make_loop, timed
+
+
 def _timed(jitted, x, iters):
-    jax.block_until_ready(jitted(x))
-    x2 = jax.block_until_ready(x * jnp.bfloat16(1.0078125))
-    t0 = time.perf_counter()
-    jax.block_until_ready(jitted(x2))
-    return (time.perf_counter() - t0) / iters
+    return timed(jitted, x, iters)[0]
 
 
 def main():
@@ -284,17 +283,7 @@ def main():
     # --- timing (perf_flash measurement rules) --------------------------
     fwd_fl = 2 * 2 * n * n * dh * h * b
 
-    def glue(x, y):
-        s = jnp.mean(y.astype(jnp.float32)) * 1e-6
-        return x + s.astype(x.dtype)
-
-    def loop(step):
-        @jax.jit
-        def run(x):
-            return jax.lax.fori_loop(
-                0, args.iters, lambda i, xx: glue(xx, step(xx)), x)
-        return run
-
+    loop = make_loop(args.iters)
     t_base = _timed(loop(lambda x: x[..., :d]), qkv, args.iters)
     print(f"glue baseline: {t_base*1e3:.3f} ms/iter", flush=True)
 

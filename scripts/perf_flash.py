@@ -18,7 +18,6 @@ docs/ROOFLINE.md "negative results"):
 
 import argparse
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,15 +25,9 @@ import jax.numpy as jnp
 from neural_vit_tpu.ops.flash_attention import flash_attention_qkv
 
 
-def _timed(jitted, x, iters):
-    """Warm on x, time on a DISTINCT buffer: the remote executor memoizes
-    a repeated (executable, operand) call even when the executable is a
-    whole 50-iteration loop — timing the same call twice reads ~0 ms."""
-    jax.block_until_ready(jitted(x))
-    x2 = jax.block_until_ready(x * jnp.bfloat16(1.0078125))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(jitted(x2))
-    return (time.perf_counter() - t0) / iters, out
+# Measurement rules shared by every flash perf script live in _timing.py.
+from _timing import make_loop
+from _timing import timed as _timed
 
 
 def main():
@@ -62,20 +55,7 @@ def main():
         return flash_attention_qkv(
             x, n_heads=h, scale=scale, dropout_rate=rate, dropout_rng=rng)
 
-    def glue(x, y):
-        # Thin dependency: next input = input + f(this output). Forces
-        # every iteration to execute while adding only one elementwise
-        # pass over x (measured by the baseline loop and subtracted).
-        s = jnp.mean(y.astype(jnp.float32)) * 1e-6
-        return x + s.astype(x.dtype)
-
-    def loop(step):
-        @jax.jit
-        def run(x):
-            return jax.lax.fori_loop(
-                0, args.iters, lambda i, xx: glue(xx, step(xx)), x)
-        return run
-
+    loop = make_loop(args.iters)
     t_base, _ = _timed(loop(lambda x: x[..., :d]), qkv, args.iters)
     print(f"glue baseline: {t_base*1e3:.3f} ms/iter", flush=True)
 
