@@ -21,8 +21,16 @@ def export_full_dataset_to_gcs(
     test_size: float = 0.15,
     val_size: float = 0.15,
     project: Optional[str] = None,
+    client=None,
+    output_root: Optional[str] = None,
 ) -> dict:
-    client = make_client(project)
+    """Args beyond the reference surface: `client` injects a BigQuery client
+    (tests pass a stub), `output_root` redirects the three parquets to any
+    fsspec-writable root (e.g. a local dir) instead of gs://bucket/prefix.
+    """
+    if client is None:
+        client = make_client(project)
+    root = output_root or f"gs://{bucket}/{prefix}"
     print(f"Querying full table {table}...")
     df = client.query(f"SELECT * FROM `{table}`").to_dataframe()
     print(f"Fetched {len(df)} trials across {df.session.nunique()} sessions")
@@ -30,7 +38,7 @@ def export_full_dataset_to_gcs(
     train_df, val_df, test_df = create_session_splits_df(df, test_size, val_size)
     paths = {}
     for name, d in (("train", train_df), ("val", val_df), ("test", test_df)):
-        path = f"gs://{bucket}/{prefix}/{name}.parquet"
+        path = f"{root.rstrip('/')}/{name}.parquet"
         d.to_parquet(path, index=False)
         paths[name] = path
         print(f"Wrote {len(d)} rows → {path}")

@@ -215,6 +215,12 @@ def save_train_checkpoint(
         # Ordering key for slot resolution + sidecar↔tree pairing check.
         save_seq=[step, _time.time()],
         global_step=step,
+        # Structural marker: restore validates this against the resume
+        # config BEFORE attempting the Orbax restore, so an ema_decay
+        # toggle between save and resume fails with a clear error instead
+        # of an opaque tree-structure mismatch (or a silent fall-through
+        # to an older compatible slot).
+        has_ema="ema_params" in tree,
     )
     if block:
         with ocp.StandardCheckpointer() as ckptr:
@@ -243,6 +249,7 @@ def restore_train_checkpoint(
     favor of the older complete one."""
     path = f"{_abs(directory).rstrip('/')}/{name}"
     abstract = jax.eval_shape(lambda: _state_tree(abstract_state))
+    want_ema = "ema_params" in abstract
     candidates = []
     for cand in _slot_candidates(path):
         info = _read_slot(cand)
@@ -255,14 +262,33 @@ def restore_train_checkpoint(
         loop_state = payload.pop("_loop")
         payload.pop("_extra", None)
         config = Temporal3DViTConfig(**payload)
+        # Structural pre-check: an ema_decay toggle between save and resume
+        # is a config error affecting EVERY slot — fail fast with the cause
+        # instead of surfacing Orbax's tree-structure error (or silently
+        # resuming from a much older pre-toggle checkpoint).
+        has_ema = loop_state.get("has_ema")
+        if has_ema is not None and bool(has_ema) != want_ema:
+            raise ValueError(
+                f"Checkpoint {slot} was saved with ema_decay "
+                f"{'> 0' if has_ema else '== 0'} but the resume config has "
+                f"ema_decay {'> 0' if want_ema else '== 0'} — set "
+                "TrainConfig.ema_decay to match the saved run (the EMA "
+                "shadow is part of the full train state)."
+            )
         try:
             with ocp.StandardCheckpointer() as ckptr:
                 tree = ckptr.restore(slot, abstract)
         except Exception as exc:  # partially-committed slot — try the next
             last_err = exc
+            print(f"WARNING: skipping committed checkpoint slot {slot} — "
+                  f"restore failed ({type(exc).__name__}: {exc}); falling "
+                  "back to an older slot if one exists")
             continue
         expect = loop_state.get("global_step")
         if expect is not None and int(tree["step"]) != int(expect):
+            print(f"WARNING: skipping checkpoint slot {slot} — sidecar "
+                  f"global_step {expect} does not match the saved tree's "
+                  f"step {int(tree['step'])} (crash between the two writes)")
             continue  # sidecar belongs to a different (lost) save
         return tree, config, loop_state
     raise FileNotFoundError(

@@ -58,6 +58,7 @@ from neural_vit_tpu.training.checkpoint import (
 from neural_vit_tpu.training.config import TrainConfig
 from neural_vit_tpu.utils.preemption import (
     PreemptionGuard,
+    clear_preemption,
     start_preemption_watcher,
 )
 from neural_vit_tpu.training.logging import (
@@ -397,6 +398,9 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             state = state.replace(
                 params=tree["params"], opt_state=tree["opt_state"],
                 step=int(tree["step"]),
+                # ema_decay save/resume mismatches fail fast inside
+                # restore_train_checkpoint (sidecar has_ema pre-check), so
+                # by here the tree's EMA presence matches cfg.ema_decay.
                 ema_params=tree.get("ema_params", state.ema_params),
             )
             start_epoch = int(loop_state["epoch"]) + 1
@@ -570,17 +574,43 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             best["val_auc"] = max(
                 best["val_auc"], vm["auc"] if np.isfinite(vm["auc"]) else 0.0
             )
-            if improved:
-                epochs_without_improvement = 0
+            epochs_without_improvement = (
+                0 if improved else epochs_without_improvement + 1
+            )
+
+            if guard.requested:
+                # Eviction arrived during the val pass or epoch bookkeeping
+                # (the in-epoch check above only fires at step boundaries,
+                # and at production dims a val pass is a large slice of the
+                # ~30 s grace window). Persist the full state at the epoch
+                # boundary now — skipping the best-metric params checkpoint
+                # to keep the grace window — and exit.
                 if checkpoint_dir:
-                    best_ckpt = save_checkpoint(
-                        checkpoint_dir, f"best_epoch_{epoch}",
-                        eval_params(state), model_config,
-                        extra={"epoch": epoch, "val_acc": vm["acc"],
-                               "val_auc": vm["auc"]},
+                    save_train_checkpoint(
+                        checkpoint_dir, "latest", state, model_config,
+                        loop_state={
+                            "epoch": epoch,
+                            "dropout_seed": dropout_seed,
+                            "best_val_acc": best["val_acc"],
+                            "best_val_auc": best["val_auc"],
+                            "epochs_without_improvement":
+                                epochs_without_improvement,
+                        },
                     )
-            else:
-                epochs_without_improvement += 1
+                preempted = True
+                where = (f"{checkpoint_dir}/latest" if checkpoint_dir
+                         else "NOWHERE (no output_dir — state lost)")
+                print(f"Preemption requested: saved full train state at "
+                      f"end of epoch {epoch} to {where}")
+                break
+
+            if improved and checkpoint_dir:
+                best_ckpt = save_checkpoint(
+                    checkpoint_dir, f"best_epoch_{epoch}",
+                    eval_params(state), model_config,
+                    extra={"epoch": epoch, "val_acc": vm["acc"],
+                           "val_auc": vm["auc"]},
+                )
 
             if epoch_callback is not None:
                 # Per-epoch hook (HP-tune reports val_auc to the tuner here
@@ -661,6 +691,12 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     finally:
         wait_for_saves()  # async "latest" saves must commit before exit
         guard.__exit__()
+        if preempted:
+            # The request was consumed (full state saved). The flag is
+            # process-global and sticky — left set, it would terminate
+            # every subsequent train() in this process (e.g. the next
+            # in-process sweep trial) after exactly one batch.
+            clear_preemption()
         logger.close()
 
     if preempted:

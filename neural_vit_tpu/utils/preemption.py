@@ -76,9 +76,14 @@ def start_preemption_watcher(
     """Background watcher: SIGTERM is not the only eviction signal on GCE —
     host maintenance is announced ahead of time on the metadata server.
     Polls `poll()` (default: the GCE maintenance-event endpoint) every
-    `interval_s`; any value other than "NONE"/"" triggers
-    `request_preemption()`. `max_failures` consecutive unreachable polls
-    mean we are not on GCE — the daemon thread exits quietly.
+    `interval_s`. Event policy: only TERMINATE-class events (the endpoint
+    reports "TERMINATE_ON_HOST_MAINTENANCE" on instances whose maintenance
+    policy is terminate — spot/preemptible TPU-VMs) trigger
+    `request_preemption()`; "MIGRATE_ON_HOST_MAINTENANCE" is survivable
+    (live migration) so the watcher logs it and KEEPS watching rather than
+    aborting training. SIGTERM remains the authoritative eviction path
+    either way. `max_failures` consecutive unreachable polls mean we are
+    not on GCE — the daemon thread exits quietly.
 
     With the default poll, one watcher per process: repeat calls (e.g. an
     in-process HP sweep running train() per trial) return the live thread
@@ -100,6 +105,7 @@ def start_preemption_watcher(
 
     def watch():
         failures = 0
+        warned_migrate = False
         while True:
             value = poll()
             if value is None:
@@ -108,9 +114,16 @@ def start_preemption_watcher(
                     return  # not on GCE — stop polling
             else:
                 failures = 0
-                if value not in ("NONE", ""):
+                if value not in ("NONE", "") and "MIGRATE" not in value:
+                    # TERMINATE-class (or unknown) event → checkpoint+exit.
                     request_preemption()
                     return
+                if "MIGRATE" in value and not warned_migrate:
+                    # Live migration: the instance survives — don't abort
+                    # training, and keep watching for a later TERMINATE.
+                    print(f"preemption-watcher: survivable maintenance "
+                          f"event {value!r} — continuing")
+                    warned_migrate = True
             if _requested.wait(interval_s):
                 return  # preempted via another path — nothing left to watch
 

@@ -527,6 +527,134 @@ def test_midepoch_preemption_checkpoint_and_step_exact_resume(prepared_splits):
     assert resumed["test_acc"] == full["test_acc"]
 
 
+def test_epoch_boundary_preemption_and_flag_clearing(prepared_splits,
+                                                     monkeypatch):
+    """A preemption request landing DURING the val pass (not at a train-step
+    boundary) is consumed at the epoch boundary: full state saved (without
+    the best-checkpoint detour), run exits preempted — and the consumed
+    flag is CLEARED so the next train() in the same process runs to
+    completion. Resume continues at the next epoch bit-exactly."""
+    from neural_vit_tpu.training import loop as loop_mod
+    from neural_vit_tpu.utils import preemption
+
+    tmp, out = prepared_splits
+    base = dict(
+        train_paths=[out["train"]], val_paths=[out["val"]],
+        test_paths=[out["test"]], output_dir=str(tmp / "runs5"),
+        lr=1e-3, n_trials=4, stride=2, model_size="tiny",
+        embed_dim=64, n_heads=2, n_layers=2,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        dropout=0.1, attention_dropout=0.0, drop_path=0.1,
+        use_cosine_schedule=True, warmup_epochs=1, epochs=3,
+        loader=DataLoaderConfig(batch_size=16),
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    preemption.clear_preemption()
+    full = train(TrainConfig(**base, run_name="bfull"))
+
+    # Fire the request from inside the epoch-1 val pass.
+    real_evaluate = loop_mod.evaluate
+    calls = {"n": 0}
+
+    def evaluate_then_preempt(*args, **kwargs):
+        result = real_evaluate(*args, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            preemption.request_preemption()
+        return result
+
+    monkeypatch.setattr(loop_mod, "evaluate", evaluate_then_preempt)
+    pre = train(TrainConfig(**base, run_name="bpart"))
+    monkeypatch.setattr(loop_mod, "evaluate", real_evaluate)
+
+    assert pre.get("preempted") is True
+    assert pre["epochs_trained"] == 1
+    assert len(pre["history"]) == 1  # epoch 1 metrics were logged
+    assert "test_auc" not in pre
+    assert pre["resume_checkpoint"].endswith("/latest")
+    # The consumed request must not leak into the next run.
+    assert not preemption.preemption_requested()
+
+    resumed = train(TrainConfig(**base, run_name="bpart-resumed",
+                                resume_from=pre["resume_checkpoint"]))
+    assert [h["epoch"] for h in resumed["history"]] == [2, 3]
+    for h_resumed, h_full in zip(resumed["history"], full["history"][1:]):
+        for key in ("train/loss", "train/acc", "train/auc",
+                    "val/loss", "val/acc", "val/auc"):
+            np.testing.assert_allclose(
+                h_resumed[key], h_full[key], rtol=0, atol=0,
+                err_msg=f"epoch {h_full['epoch']} {key} diverged after "
+                        f"epoch-boundary preemption resume",
+            )
+    assert resumed["test_auc"] == full["test_auc"]
+    assert resumed["test_acc"] == full["test_acc"]
+
+
+def test_restore_rejects_ema_decay_mismatch(rng, tmp_path):
+    """Toggling ema_decay between save and resume must fail fast with an
+    error naming ema_decay — not an opaque Orbax structure error, and never
+    a silent fall-through to an older compatible slot."""
+    import optax
+
+    from neural_vit_tpu.core.config import Temporal3DViTConfig
+    from neural_vit_tpu.models.vit import Temporal3DViT
+    from neural_vit_tpu.training.checkpoint import (
+        restore_train_checkpoint,
+        save_train_checkpoint,
+    )
+    from neural_vit_tpu.training.loop import TrainState
+
+    cfg = Temporal3DViTConfig(
+        n_trials=4, freq_size=16, time_size=32,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        embed_dim=64, n_heads=2, n_layers=2,
+        compute_dtype="float32", use_flash_attention=False,
+    )
+    model = Temporal3DViT(cfg)
+    x = jnp.zeros((2, cfg.n_trials, cfg.freq_size, cfg.time_size), jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+    with_ema = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adamw(1e-3),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+    )
+    without_ema = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adamw(1e-3),
+    )
+    save_train_checkpoint(str(tmp_path), "latest", with_ema, cfg,
+                          loop_state={"epoch": 1, "dropout_seed": 0})
+    with pytest.raises(ValueError, match="ema_decay"):
+        restore_train_checkpoint(str(tmp_path), "latest", without_ema)
+    # The matching config restores fine.
+    tree, _, _ = restore_train_checkpoint(str(tmp_path), "latest", with_ema)
+    assert "ema_params" in tree
+
+    # And the reverse direction (saved without, resumed with) also names
+    # the knob.
+    save_train_checkpoint(str(tmp_path / "b"), "latest", without_ema, cfg,
+                          loop_state={"epoch": 1, "dropout_seed": 0})
+    with pytest.raises(ValueError, match="ema_decay"):
+        restore_train_checkpoint(str(tmp_path / "b"), "latest", with_ema)
+
+
+def test_preemption_watcher_ignores_live_migration():
+    """MIGRATE_ON_HOST_MAINTENANCE is survivable: the watcher must log and
+    KEEP watching (catching a later TERMINATE) instead of aborting."""
+    from neural_vit_tpu.utils.preemption import (
+        clear_preemption,
+        preemption_requested,
+        start_preemption_watcher,
+    )
+
+    clear_preemption()
+    events = iter(["MIGRATE_ON_HOST_MAINTENANCE", "NONE",
+                   "TERMINATE_ON_HOST_MAINTENANCE"])
+    t = start_preemption_watcher(poll=lambda: next(events),
+                                 interval_s=0.01)
+    t.join(timeout=10)
+    assert not t.is_alive() and preemption_requested()
+    clear_preemption()
+
+
 def test_preemption_guard_catches_sigterm():
     """The guard installs SIGTERM → request flag and restores the previous
     handler on exit."""
