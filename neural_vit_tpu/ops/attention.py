@@ -171,10 +171,10 @@ def tp_multi_head_attention_qkv3(
 
             warnings.warn(
                 f"flash attention unsupported at per-shard dims (N={n}, "
-                f"D/tp={d // tp}): packed-qkv block slices need D/tp % 128 "
-                "== 0, so every TP shard takes the XLA attention path "
-                "('small' D=384 keeps flash at tp∈{1,3}; 'base' D=512 at "
-                "tp∈{1,2,4}). See docs/SCALING.md.",
+                f"D/tp={d // tp}): non-128-aligned D/tp uses the "
+                "packed-full kernel mode, which needs whole (N, 3·D/tp) "
+                "rows to fit VMEM — beyond that every TP shard takes the "
+                "XLA attention path. See docs/SCALING.md.",
                 stacklevel=2,
             )
     if dropout_rng is None:

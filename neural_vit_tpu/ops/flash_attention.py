@@ -147,15 +147,21 @@ def _col_mask(p, n_valid: int, col0):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
                 scale: float, n_heads: int, dh: int, n_valid: int,
-                padded: bool, dropout_rate: float, staged: bool):
+                padded: bool, dropout_rate: float, staged: bool,
+                q_base: int = 0, k_base: int = 0, v_base: int = 0):
+    # q/k/v_base: lane offsets of the q/k/v thirds when the three refs
+    # alias ONE packed (1, N, 3D) block (the packed-full mode for
+    # non-128-aligned D — see _flash_fwd); 0 when they are separate
+    # D-wide column blocks.
     b = pl.program_id(0)
     row0 = (pl.program_id(1) * q_ref.shape[1]).astype(jnp.uint32)
 
     def qk(h):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = _scaled(q_ref[0, :, sl], scale * _LOG2E)    # (bq, dh)
+        q = _scaled(q_ref[0, :, q_base + h * dh:q_base + (h + 1) * dh],
+                    scale * _LOG2E)                     # (bq, dh)
         return jax.lax.dot_general(                     # s·log2e: (bq, nk)
-            q, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            q, k_ref[0, :, k_base + h * dh:k_base + (h + 1) * dh],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -175,7 +181,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         else:
             s2 = qk(h)
         sl = slice(h * dh, (h + 1) * dh)
-        v = v_ref[0, :, sl]
+        v = v_ref[0, :, v_base + h * dh:v_base + (h + 1) * dh]
         m2 = jnp.max(s2, axis=-1, keepdims=True)
         p = jnp.exp2(s2 - m2)                           # == exp(s - m)
         if padded:
@@ -183,15 +189,19 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         denom = jnp.sum(p, axis=-1, keepdims=True)
         lse = m2 * _LN2 + jnp.log(denom)                # (bq, 1), natural log
         lse_ref[0, h:h + 1, :] = jnp.transpose(lse)
+        pv = p.astype(v.dtype)
         if dropout_rate > 0.0:
-            p = jnp.where(
+            # Select AFTER the bf16 downcast (bit-identical: 0 is exact in
+            # both widths and astype∘select == select∘astype for it) so
+            # the full-plane select runs at bf16 VPU width.
+            pv = jnp.where(
                 _keep_mask(p.shape, dropout_rate,
                            _head_seed(seed_ref, b, h, n_heads), row0),
-                p, 0.0,
+                pv, jnp.zeros((), pv.dtype),
             )
             denom = denom * (1.0 - dropout_rate)        # folded 1/(1-r)
         acc = jax.lax.dot_general(                      # (bq, dh)
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, sl] = (acc / denom).astype(o_ref.dtype)
@@ -204,44 +214,55 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                       dqkv_ref, *, scale: float, n_heads: int,
                       dh: int, n_valid: int, padded: bool,
-                      dropout_rate: float, staged: bool):
+                      dropout_rate: float, staged: bool,
+                      q_base: int = 0, k_base: int = 0, v_base: int = 0):
+    # q/k/v_base: lane offsets when q/k/v_ref alias one packed (1, N, 3D)
+    # block (packed-full mode for non-128-aligned D); 0 otherwise.
     b = pl.program_id(0)
     d = n_heads * dh
 
     def qk(h):
-        sl = slice(h * dh, (h + 1) * dh)
-        qs2 = _scaled(q_ref[0, :, sl], scale * _LOG2E)
+        qs2 = _scaled(q_ref[0, :, q_base + h * dh:q_base + (h + 1) * dh],
+                      scale * _LOG2E)
         return qs2, jax.lax.dot_general(
-            qs2, k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            qs2, k_ref[0, :, k_base + h * dh:k_base + (h + 1) * dh],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     def dovt(h):
         sl = slice(h * dh, (h + 1) * dh)
         return jax.lax.dot_general(                     # do @ vᵀ: (n, n)
-            do_ref[0, :, sl], v_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            do_ref[0, :, sl],
+            v_ref[0, :, v_base + h * dh:v_base + (h + 1) * dh],
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    # Software pipelining as in _fwd_kernel, but hoisting BOTH of head
-    # h+1's independent MXU planes — QKᵀ AND dp = do·vᵀ — ahead of head
-    # h's VPU work (dual-hoist measured 2.127 → 2.044 ms kernel-isolated
-    # at dropout 0.1, +3.9%, bit-identical; the earlier qk-only hoist was
-    # +1.2-1.5%). Two extra live (n, n) f32 planes, driver-gated.
+    # Software pipelining as in _fwd_kernel, graded by `staged` level:
+    # level 2 (dual-hoist) stages BOTH of head h+1's independent MXU
+    # planes — QKᵀ AND dp = do·vᵀ — ahead of head h's VPU work (measured
+    # 2.127 → 2.044 ms kernel-isolated at dropout 0.1, +3.9%,
+    # bit-identical); level 1 stages only QKᵀ (+1.2-1.5%) and costs one
+    # live (n, n) f32 plane instead of two — the fallback when the dual
+    # planes overflow the stack budget (production N=1952 under the
+    # 90 MiB tier). Driver-gated via _staged_ok.
     if staged:
         qs2_next, s2_next = qk(0)
-        dp_next = dovt(0)
+        dp_next = dovt(0) if staged >= 2 else None
     for h in range(n_heads):
         if staged:
-            qs2, s2, dp = qs2_next, s2_next, dp_next
+            qs2, s2 = qs2_next, s2_next
+            dp = dp_next if staged >= 2 else dovt(h)
             if h + 1 < n_heads:
                 qs2_next, s2_next = qk(h + 1)
-                dp_next = dovt(h + 1)
+                if staged >= 2:
+                    dp_next = dovt(h + 1)
         else:
             qs2, s2 = qk(h)
             dp = dovt(h)
         sl = slice(h * dh, (h + 1) * dh)
-        k = k_ref[0, :, sl]
+        k = k_ref[0, :, k_base + h * dh:k_base + (h + 1) * dh]
         do = do_ref[0, :, sl]                           # (n, dh)
         o = o_ref[0, :, sl]
         lse = jnp.transpose(lse_ref[0, h:h + 1, :])     # (n, 1)
@@ -260,11 +281,13 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             inv = 1.0 / (1.0 - dropout_rate)
             ds = p * (jnp.where(keep, dp, 0.0)
                       - delta * (1.0 - dropout_rate))
-            pk = jnp.where(keep, p, 0.0)
+            # bf16-width select (bit-identical — see _fwd_kernel).
+            pk = jnp.where(keep, p.astype(do.dtype),
+                           jnp.zeros((), do.dtype))
             dq_scale, dk_scale, dv_scale = scale * inv, inv / _LOG2E, inv
         else:
             ds = p * (dp - delta)
-            pk = p
+            pk = p.astype(do.dtype)
             dq_scale, dk_scale, dv_scale = scale, 1.0 / _LOG2E, 1.0
         ds_c = ds.astype(qs2.dtype)
         dqkv_ref[0, :, sl] = (jax.lax.dot_general(
@@ -276,7 +299,7 @@ def _bwd_fused_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
             preferred_element_type=jnp.float32,
         ) * dk_scale).astype(dqkv_ref.dtype)
         dv = jax.lax.dot_general(
-            pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pk, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if dropout_rate > 0.0:
@@ -365,18 +388,20 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, lse_ref, delta_ref,
             inv = 1.0 / (1.0 - dropout_rate)
             ds = p * (jnp.where(keep, dp, 0.0)
                       - delta * (1.0 - dropout_rate))
-            pk = jnp.where(keep, p, 0.0)
+            # bf16-width select (bit-identical — see _fwd_kernel).
+            pk = jnp.where(keep, p.astype(do.dtype),
+                           jnp.zeros((), do.dtype))
             dk_scale, dv_scale = inv / _LOG2E, inv
         else:
             ds = p * (dp - delta)
-            pk = p
+            pk = p.astype(do.dtype)
             dk_scale, dv_scale = 1.0 / _LOG2E, 1.0
         dk_ref[0, :, sl] = (jax.lax.dot_general(
             ds.astype(qs2.dtype), qs2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * dk_scale).astype(dk_ref.dtype)
         dv = jax.lax.dot_general(
-            pk.astype(do.dtype), do, (((0,), (0,)), ((), ())),  # p̃ᵀ @ do
+            pk, do, (((0,), (0,)), ((), ())),               # p̃ᵀ @ do
             preferred_element_type=jnp.float32,
         )
         if dropout_rate > 0.0:
@@ -414,6 +439,14 @@ def _stack_bytes(bq: int, n: int, d: int, kind: str) -> float:
         inter = 2.2 * score
     elif kind == "fused":
         blocks = 2 * (4 * n * d + n * d + n * 3 * d) * 2    # q,k,v,o,do,dqkv
+        inter = 3.2 * score
+    elif kind == "fwd_packed":
+        # Packed-full mode (non-128-aligned D): ONE (n, 3d) qkv block
+        # instead of separate q/k/v column views, whole rows (bq = n).
+        blocks = 2 * (n * 3 * d + n * d) * 2                # qkv, o
+        inter = 2.2 * score
+    elif kind == "fused_packed":
+        blocks = 2 * (n * 3 * d + n * d + n * d + n * 3 * d) * 2  # +o,do,dqkv
         inter = 3.2 * score
     elif kind == "dq":
         blocks = 2 * (2 * bq * d + 2 * n * d + bq * d) * 2  # q,do,k,v,dq
@@ -499,29 +532,60 @@ def _plan(n: int, d: int) -> tuple:
     )
 
 
+def _plan_packed(n: int, d: int) -> Optional[float]:
+    """VMEM budget tier for the packed-full mode (non-128-aligned D), or
+    None when nothing fits.
+
+    Mosaic requires a block's LAST dim be a multiple of 128 lanes or the
+    full array dim. The regular specs carve the (B, N, 3D) qkv array into
+    D-wide thirds — illegal when D % 128 != 0 (e.g. 'tiny' D=192, or
+    'small' D=384 under tp=2 → 192 per shard). Packed-full mode instead
+    loads the FULL (1, N, 3D) row block (full-dim last axis — always
+    legal; the (1, H, N) lse blocks already rely on the same rule at
+    N=513) and the kernel slices q/k/v by lane offset in VMEM. Whole rows
+    only (single q-block, fused backward), so it covers exactly the
+    small-D regime where whole rows fit — larger N at unaligned D still
+    falls back to XLA."""
+    for budget in _BUDGET_LADDER:
+        if (_stack_bytes(n, n, d, "fwd_packed") <= budget
+                and _stack_bytes(n, n, d, "fused_packed") <= budget):
+            return budget
+    return None
+
+
 def _staged_ok(bq: int, n: int, d: int, kind: str,
-               budget: float = _VMEM_BUDGET) -> bool:
-    """Head-staged issue order keeps extra (bq, n) f32 score planes live:
-    one in the forward (head h+1's QKᵀ while head h's VPU work runs), two
-    in the fused backward (its dual-hoist also carries h+1's do·vᵀ plane).
-    Enable it only when those planes still fit the stack budget — at long
-    sequences the block plan is already at the ceiling and staging would
-    overflow Mosaic's stack."""
-    planes = 2 if kind == "fused" else 1
-    extra = planes * bq * _ceil_to(n, 128) * 4.0
-    return _stack_bytes(bq, n, d, kind) + extra <= budget
+               budget: float = _VMEM_BUDGET) -> int:
+    """Head-staged issue-order LEVEL (0 = off): each level keeps one extra
+    (bq, n) f32 plane live. Forward has one stageable MXU plane (head
+    h+1's QKᵀ — level 1); the fused backward has two (level 1 = QKᵀ only,
+    level 2 = dual-hoist: QKᵀ AND h+1's do·vᵀ). Pick the deepest level
+    whose extra planes still fit the stack budget — at production N=1952
+    the fused stack (~75 MB) fits one extra plane (~16 MB) under the
+    90 MiB tier but not two, so the backward degrades to the qk-only
+    hoist instead of losing staging entirely. Math is bit-identical at
+    every level (issue order only)."""
+    max_level = 2 if kind.startswith("fused") else 1
+    plane = bq * _ceil_to(n, 128) * 4.0
+    base = _stack_bytes(bq, n, d, kind)
+    for level in range(max_level, 0, -1):
+        if base + level * plane <= budget:
+            return level
+    return 0
 
 
 def supported(n: int, d: int) -> bool:
-    """True iff the kernels can run at (sequence, embed) = (n, d):
-    a VMEM block plan exists AND the packed-qkv block slices are
-    lane-legal. Every kernel carves the packed (B, N, 3D) array into
-    D-wide thirds at the HBM→VMEM boundary, and Mosaic requires a block's
-    last dimension to be a multiple of 128 lanes (or the full array dim)
-    — so D must be 128-aligned ('small' 384 and 'base' 512 are; 'tiny'
-    192 is not and dispatches to the XLA path)."""
+    """True iff the kernels can run at (sequence, embed) = (n, d).
+
+    128-aligned D ('small' 384, 'base' 512): the regular column-block
+    specs apply — any N for which a VMEM block plan exists.
+
+    Non-128-aligned D ('tiny' 192, 'small' under tp=2): the packed-full
+    mode applies (see _plan_packed) — one full-lane (1, N, 3D) qkv block,
+    whole-row processing, fused backward — as long as the whole-row
+    stacks fit a VMEM ladder tier. Beyond that, the dispatcher
+    (ops/attention.py) falls back to the XLA path."""
     if d % 128 != 0:
-        return False
+        return d % 8 == 0 and _plan_packed(n, d) is not None
     try:
         _plan(n, d)
         return True
@@ -573,10 +637,99 @@ def _qkv_specs(n_proc: int, bq: int, d: int, q_blocked: bool):
     return q_spec, k_spec, v_spec
 
 
+def _fwd_kernel_packed(seed_ref, qkv_ref, o_ref, lse_ref, **kw):
+    """Packed-full forward: q/k/v are lane offsets into ONE qkv block."""
+    d = kw["n_heads"] * kw["dh"]
+    _fwd_kernel(seed_ref, qkv_ref, qkv_ref, qkv_ref, o_ref, lse_ref,
+                q_base=0, k_base=d, v_base=2 * d, **kw)
+
+
+def _bwd_fused_kernel_packed(seed_ref, qkv_ref, o_ref, lse_ref, do_ref,
+                             dqkv_ref, **kw):
+    d = kw["n_heads"] * kw["dh"]
+    _bwd_fused_kernel(seed_ref, qkv_ref, qkv_ref, qkv_ref, o_ref, lse_ref,
+                      do_ref, dqkv_ref, q_base=0, k_base=d, v_base=2 * d,
+                      **kw)
+
+
+def _flash_fwd_packed(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
+    """Forward for non-128-aligned D: one full-lane (1, N, 3D) qkv block
+    per batch, whole rows (no q-blocking, no padding — every block's last
+    dim is a full array dim, and the sublane dim is the full N)."""
+    bsz, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    budget = _plan_packed(n, d)
+    if budget is None:
+        raise ValueError(
+            f"flash_attention (packed-full): whole-row stacks do not fit "
+            f"VMEM at N={n}, D={d} — check supported() before calling"
+        )
+    kernel = functools.partial(
+        _fwd_kernel_packed, scale=scale, n_heads=n_heads, dh=dh, n_valid=n,
+        padded=False, dropout_rate=dropout_rate,
+        staged=_staged_ok(n, n, d, "fwd_packed", budget),
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, 1),
+            in_specs=[pl.BlockSpec((1, n, 3 * d), lambda b, i, *_: (b, 0, 0))],
+            out_specs=[
+                pl.BlockSpec((1, n, d), lambda b, i, *_: (b, 0, 0)),
+                pl.BlockSpec((1, n_heads, n), lambda b, i, *_: (b, 0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n, d), qkv.dtype),
+            jax.ShapeDtypeStruct((bsz, n_heads, n), jnp.float32),
+        ],
+        compiler_params=_kernel_params(budget),
+        interpret=interpret,
+    )(seed, qkv)
+    return out, lse
+
+
+def _flash_bwd_packed(qkv, out, lse, do, seed, *, n_heads, scale,
+                      dropout_rate, interpret):
+    """Backward for non-128-aligned D: the fused single-program shape only
+    (dq/dk/dv written as one full-lane (1, N, 3D) block)."""
+    bsz, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // n_heads
+    budget = _plan_packed(n, d)
+    qkv_spec = pl.BlockSpec((1, n, 3 * d), lambda b, *_: (b, 0, 0))
+    row_spec = pl.BlockSpec((1, n, d), lambda b, *_: (b, 0, 0))
+    lse_spec = pl.BlockSpec((1, n_heads, n), lambda b, *_: (b, 0, 0))
+    kernel = functools.partial(
+        _bwd_fused_kernel_packed, scale=scale, n_heads=n_heads, dh=dh,
+        n_valid=n, padded=False, dropout_rate=dropout_rate,
+        staged=_staged_ok(n, n, d, "fused_packed", budget),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, 1),
+            in_specs=[qkv_spec, row_spec, lse_spec, row_spec],
+            out_specs=pl.BlockSpec((1, n, 3 * d), lambda b, *_: (b, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, 3 * d), qkv.dtype),
+        compiler_params=_kernel_params(budget),
+        interpret=interpret,
+    )(seed, qkv, out, lse, do)
+
+
 def _flash_fwd(qkv, seed, *, n_heads, scale, dropout_rate, interpret):
     bsz, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
+    if d % 128 != 0:
+        return _flash_fwd_packed(
+            qkv, seed, n_heads=n_heads, scale=scale,
+            dropout_rate=dropout_rate, interpret=interpret,
+        )
     n_proc, bq, _, _, budget = _plan(n, d)
     qkv_p = _maybe_pad(qkv, n_proc)
     grid = (bsz, n_proc // bq)
@@ -614,6 +767,11 @@ def _flash_bwd(qkv, out, lse, do, seed, *, n_heads, scale, dropout_rate,
     bsz, n, d3 = qkv.shape
     d = d3 // 3
     dh = d // n_heads
+    if d % 128 != 0:
+        return _flash_bwd_packed(
+            qkv, out, lse, do, seed, n_heads=n_heads, scale=scale,
+            dropout_rate=dropout_rate, interpret=interpret,
+        )
     n_proc, bq, bk, fused, budget = _plan(n, d)
     qkv_p = _maybe_pad(qkv, n_proc)
     do_p = _maybe_pad(do, n_proc)

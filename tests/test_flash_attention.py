@@ -242,11 +242,14 @@ def test_unsupported_shape_reports_and_dispatch_falls_back(rng):
     with pytest.raises(ValueError, match="no block plan"):
         _plan(24576, 384)
 
-    # Lane legality: every kernel slices the packed (B, N, 3D) array into
-    # D-wide thirds, and Mosaic requires block last-dims to be 128-lane
-    # multiples — D=192 ('tiny') must dispatch to XLA, not raise in
-    # pallas_call (regression: bench --model tiny).
-    assert not supported(512, 192)
+    # Lane legality: non-128-aligned D ('tiny' 192, 'small' at tp=2) now
+    # runs the packed-full mode (one full-lane (1, N, 3D) block, whole
+    # rows, fused backward) as long as whole rows fit VMEM; beyond that
+    # it must fall back to XLA, not raise in pallas_call.
+    assert supported(513, 192)    # 'tiny' default dims
+    assert supported(1953, 192)   # 'tiny' production dims
+    assert supported(1952, 192)   # TP shard of 'small' at production dims
+    assert not supported(16384, 192)  # whole rows exceed every VMEM tier
     assert supported(512, 512)    # 'base' is lane-legal
 
     # Dispatch on CPU exercises the XLA branch for any shape; the
@@ -259,11 +262,12 @@ def test_unsupported_shape_reports_and_dispatch_falls_back(rng):
     assert out.shape == (1, 20, 64)
 
 
-@pytest.mark.parametrize("force", [True, False])
+@pytest.mark.parametrize("force", [1, 2])
 def test_staged_issue_order_is_bit_identical(rng, monkeypatch, force):
     """Head-staging (software-pipelining head h+1's QK^T / do.v^T past head
     h's VPU work) only reorders MXU issue — forward output and all three
-    packed gradients must be BIT-identical with staging forced on vs off."""
+    packed gradients must be BIT-identical at every staging level
+    (0 = off, 1 = qk-only hoist, 2 = fused dual-hoist) vs off."""
     import neural_vit_tpu.ops.flash_attention as fa
 
     b, n, h, dh = 2, 129, 3, 64
@@ -285,7 +289,79 @@ def test_staged_issue_order_is_bit_identical(rng, monkeypatch, force):
 
     monkeypatch.setattr(fa, "_staged_ok", lambda *a, **k: force)
     got_out, got_grad = run()
-    monkeypatch.setattr(fa, "_staged_ok", lambda *a, **k: not force)
+    monkeypatch.setattr(fa, "_staged_ok", lambda *a, **k: 0)
     ref_out, ref_grad = run()
     np.testing.assert_array_equal(got_out, ref_out)
     np.testing.assert_array_equal(got_grad, ref_grad)
+
+
+def test_packed_full_mode_matches_xla_at_unaligned_d(rng):
+    """Non-128-aligned D (192 = 'tiny' / 'small'-at-tp=2 per-shard): the
+    packed-full mode — one full-lane (1, N, 3D) qkv block, whole rows,
+    fused backward — must match the XLA path in forward and all three
+    gradients, at both an odd and a production-like N."""
+    import neural_vit_tpu.ops.flash_attention as fa
+
+    for n in (129, 488):
+        b, h, dh = 2, 3, 64
+        q, k, v = _qkv(rng, b=b, n=n, h=h, dh=dh)
+        qkv = jnp.concatenate(
+            [q.reshape(b, n, -1), k.reshape(b, n, -1),
+             v.reshape(b, n, -1)], -1
+        )
+        scale = dh ** -0.5
+
+        def loss(x):
+            o = fa.flash_attention_qkv(x, n_heads=h, scale=scale,
+                                       interpret=True)
+            return jnp.sum(o * jnp.cos(o))
+
+        def loss_ref(q, k, v):
+            o, _ = xla_attention(q, k, v, scale)
+            return jnp.sum(o * jnp.cos(o))
+
+        out = fa.flash_attention_qkv(qkv, n_heads=h, scale=scale,
+                                     interpret=True)
+        ref, _ = xla_attention(q, k, v, scale)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref).reshape(b, n, -1),
+            rtol=2e-5, atol=2e-5, err_msg=f"packed fwd N={n}",
+        )
+        g = jax.grad(loss)(qkv)
+        gq, gk, gv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        gref = jnp.concatenate(
+            [gq.reshape(b, n, -1), gk.reshape(b, n, -1),
+             gv.reshape(b, n, -1)], -1
+        )
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gref), rtol=5e-4, atol=5e-5,
+            err_msg=f"packed grads N={n}",
+        )
+
+
+def test_packed_full_mode_dropout_grad_uses_same_mask(rng):
+    """Packed-full mode with in-kernel dropout: the backward must
+    regenerate the identical keep mask (finite-difference check through
+    the custom VJP at D=192)."""
+    import neural_vit_tpu.ops.flash_attention as fa
+
+    b, n, h, dh = 1, 96, 3, 64
+    q, k, v = _qkv(rng, b=b, n=n, h=h, dh=dh)
+    qkv = jnp.concatenate(
+        [q.reshape(b, n, -1), k.reshape(b, n, -1), v.reshape(b, n, -1)], -1
+    )
+    key = jax.random.key(5)
+
+    def f(x):
+        o = fa.flash_attention_qkv(
+            x, n_heads=h, scale=dh ** -0.5, dropout_rate=0.3,
+            dropout_rng=key, interpret=True,
+        )
+        return jnp.sum(o * o)
+
+    g = jax.grad(f)(qkv)
+    d = jnp.asarray(np.random.default_rng(0).standard_normal(qkv.shape),
+                    qkv.dtype)
+    eps = 1e-3
+    fd = (f(qkv + eps * d) - f(qkv - eps * d)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.sum(g * d)), float(fd), rtol=2e-2)
