@@ -40,6 +40,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+if "--platform" in sys.argv:  # before first jax use: the JAX_PLATFORMS env
+    # var is ignored by the axon TPU plugin, so a CPU dry-run of the bench
+    # (contract-line plumbing, wedged-tunnel fallback) needs the config knob.
+    jax.config.update(
+        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
+    )
+
 from neural_vit_tpu.utils import enable_compilation_cache
 
 # On TPU, point the persistent compilation cache INSIDE the repo: the
@@ -329,6 +336,10 @@ def main():
     ap.add_argument("--vmem-kib", type=int, default=26624,
                     help="xla_tpu_scoped_vmem_limit_kib (0 = compiler "
                          "default; re-sweep after layout changes)")
+    ap.add_argument("--platform", default=None,
+                    help="force the JAX backend (consumed before jax "
+                         "init at module top; e.g. 'cpu' for a contract "
+                         "dry-run when the TPU tunnel is unavailable)")
     ap.add_argument("--train-only", action="store_true",
                     help="skip the preprocess/inference stderr diagnostics")
     ap.add_argument("--int8", action="store_true",
@@ -347,6 +358,7 @@ def main():
     args = ap.parse_args()
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    t_start = time.perf_counter()
     # Contract metric FIRST: the tunneled device occasionally wedges
     # mid-session, and a hang inside a stderr-only diagnostic must not
     # block the one JSON line the driver consumes.
@@ -364,11 +376,20 @@ def main():
         "unit": "volumes/sec/chip",
         "vs_baseline": round(value / target, 3) if target else None,
     }
+    # Print the contract line IMMEDIATELY after the tuned measurement.
+    # Round 3's BENCH artifact was lost (rc=124, parsed null) because a
+    # second full train-step compile ran before this print; nothing below
+    # this line may gate it.
+    print(json.dumps(record), flush=True)
+    elapsed = time.perf_counter() - t_start
     # When the headline ran the TUNED config (probe/quick — a quality-gated
     # TPU-first redesign), also measure the reference-parity config
-    # (cls/erf, exact torch semantics) so the captured JSON self-documents
-    # the redesign delta instead of hiding it in stderr.
-    if (args.gelu, args.pool) == ("quick", "probe") and args.model == "small":
+    # (cls/erf, exact torch semantics) as a SECOND JSON line so the captured
+    # output self-documents the redesign delta. Budget-gated: if the tuned
+    # config took long (cold cache), skip rather than risk the driver's
+    # overall timeout truncating the capture.
+    if ((args.gelu, args.pool) == ("quick", "probe") and args.model == "small"
+            and elapsed < 300.0):
         try:
             parity = bench_train_throughput(
                 batch=args.batch, steps=min(args.steps, 20), gelu="erf",
@@ -376,11 +397,17 @@ def main():
                 time_size=args.time_size, remat=args.remat,
                 model_size=args.model,
             )
-            record["parity_config"] = "pool=cls gelu=erf (exact reference semantics)"
-            record["parity_value"] = round(parity, 1)
-        except Exception as exc:  # diagnostics — never break the JSON line
+            print(json.dumps({
+                "metric": "train_throughput_small_vit_fwd_bwd_parity_config",
+                "value": round(parity, 1),
+                "unit": "volumes/sec/chip",
+                "note": "pool=cls gelu=erf (exact reference semantics)",
+            }), flush=True)
+        except Exception as exc:  # diagnostics — never break the contract
             log(f"parity-config bench failed: {exc}")
-    print(json.dumps(record), flush=True)
+    elif elapsed >= 300.0:
+        log(f"skipping parity-config bench: tuned config took {elapsed:.0f}s "
+            "(cold cache?) — protecting the driver's time budget")
     if args.train_only:
         return
     try:
