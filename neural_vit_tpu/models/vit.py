@@ -40,9 +40,38 @@ from neural_vit_tpu.ops.attention import (
 from neural_vit_tpu.ops.dropout import dropout as fused_dropout
 from neural_vit_tpu.ops.layernorm import layer_norm as fused_layer_norm
 
-# Matches torch nn.init.trunc_normal_(std=0.02) closely enough (torch's
-# default truncation at ±2 absolute is ±100σ at this std, i.e. untruncated).
-trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+# torch nn.init.trunc_normal_(std=0.02) truncates at ±2 ABSOLUTE — ±100σ at
+# this std, i.e. effectively untruncated — so the exact-parity initializer is
+# a plain normal. (jax truncated_normal(0.02) truncates at ±2σ, shrinking the
+# realized std to ~0.88·0.02: a 12% narrower init everywhere, one of the
+# systematic torch-vs-jax deltas found in the round-4 parity audit.)
+trunc_init = nn.initializers.normal(stddev=0.02)
+
+
+def _conv3d_default_init(key, shape, dtype):
+    """torch Conv3d DEFAULT weight init, for the patch embedding.
+
+    The reference's `_init_weights` re-initializes only nn.Linear and
+    nn.LayerNorm (`models/model.py:268-274`) — its Conv3d patch embed keeps
+    torch's default kaiming_uniform(a=√5): U(±√(1/fan_in)) with
+    fan_in = in_channels·∏kernel = patch_dim (std ≈ 0.051 at patch_dim=128,
+    2.5× wider than trunc_normal(0.02)). Matching it matters: this is the
+    input layer, and the head-to-head parity runs train small models for
+    few epochs."""
+    fan_in = shape[0]
+    bound = (1.0 / fan_in) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _conv3d_default_bias_init(fan_in: int):
+    """torch Conv3d default bias: U(±1/√fan_in) — NOT zeros (the reference
+    zeroes only Linear biases, `models/model.py:271`)."""
+    bound = (1.0 / fan_in) ** 0.5
+
+    def init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def _gelu(x, kind: str = "erf"):
@@ -388,7 +417,8 @@ class Temporal3DViT(nn.Module):
                 b, cfg.n_patches, cfg.patch_dim
             )
         x = nn.Dense(
-            cfg.embed_dim, kernel_init=trunc_init, dtype=dtype,
+            cfg.embed_dim, kernel_init=_conv3d_default_init,
+            bias_init=_conv3d_default_bias_init(cfg.patch_dim), dtype=dtype,
             param_dtype=pdtype, name="patch_embed",
         )(x)
 
