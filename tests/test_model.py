@@ -290,3 +290,38 @@ def test_logits_match_reference_torch():
     ours = np.asarray(model.apply({"params": p}, jnp.asarray(x)))
     theirs = tmodel(torch.tensor(x)).detach().numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_init_distributions_match_torch_defaults():
+    """Round-4 parity fix regression guard: every initializer must match the
+    reference's EFFECTIVE init (reference `models/model.py:257-274`):
+      * Linear/pos/CLS: trunc_normal_(std=0.02) truncates at ±2 ABSOLUTE
+        (±100σ — effectively untruncated), so realized std must be ≈0.02,
+        NOT the 0.88×0.02 a ±2σ-truncated sampler yields;
+      * the Conv3d patch embed keeps torch DEFAULTS (never re-initialized):
+        kaiming_uniform weight U(±√(1/patch_dim)) and uniform bias
+        U(±1/√patch_dim) — nonzero."""
+    cfg = CONFIGS["tiny"]
+    model = Temporal3DViT(cfg)
+    x = jnp.zeros((1, cfg.n_trials, cfg.freq_size, cfg.time_size), jnp.float32)
+    params = model.init(jax.random.key(0), x)["params"]
+
+    qkv = np.asarray(params["block_0"]["attn"]["qkv"]["kernel"]).ravel()
+    # Untruncated normal(0.02): realized std within 3% of 0.02 and samples
+    # beyond 2σ present (a ±2σ-truncated sampler has none).
+    assert abs(qkv.std() - 0.02) < 0.02 * 0.03
+    assert (np.abs(qkv) > 2.0 * 0.02).any()
+
+    pe_w = np.asarray(params["patch_embed"]["kernel"])
+    pe_b = np.asarray(params["patch_embed"]["bias"])
+    fan_in = cfg.patch_dim
+    bound = (1.0 / fan_in) ** 0.5
+    # Uniform(-bound, bound): std ≈ bound/√3, support inside ±bound, and
+    # mass near the edges (a normal at this std would exceed the bound).
+    assert abs(pe_w.std() - bound / np.sqrt(3)) < 0.05 * bound
+    assert np.abs(pe_w).max() <= bound and np.abs(pe_w).max() > 0.95 * bound
+    assert np.abs(pe_b).max() <= bound and np.abs(pe_b).max() > 0.8 * bound
+    assert np.abs(pe_b).mean() > 0.0  # nonzero bias, unlike Linear layers
+
+    lin_b = np.asarray(params["block_0"]["attn"]["qkv"]["bias"])
+    assert np.all(lin_b == 0.0)  # Linear biases ARE zeroed by the reference
