@@ -40,12 +40,16 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-if "--platform" in sys.argv:  # before first jax use: the JAX_PLATFORMS env
-    # var is ignored by the axon TPU plugin, so a CPU dry-run of the bench
-    # (contract-line plumbing, wedged-tunnel fallback) needs the config knob.
-    jax.config.update(
-        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
-    )
+# Before first jax use: the JAX_PLATFORMS env var is ignored by the axon
+# TPU plugin, so a CPU dry-run of the bench (contract-line plumbing,
+# wedged-tunnel fallback) needs the config knob. Both argparse spellings
+# ('--platform cpu' and '--platform=cpu') must hit this pre-parse sniff —
+# a missed '=' form would silently leave the backend unforced.
+for _i, _arg in enumerate(sys.argv):
+    if _arg == "--platform" and _i + 1 < len(sys.argv):
+        jax.config.update("jax_platforms", sys.argv[_i + 1])
+    elif _arg.startswith("--platform="):
+        jax.config.update("jax_platforms", _arg.split("=", 1)[1])
 
 from neural_vit_tpu.utils import enable_compilation_cache
 
@@ -397,12 +401,16 @@ def main():
                 time_size=args.time_size, remat=args.remat,
                 model_size=args.model,
             )
-            print(json.dumps({
+            # stderr, NOT stdout: the driver parses the LAST stdout JSON
+            # line, and round 4's artifact recorded this diagnostic (1,331.7
+            # — the deliberately slower exact-torch arm) as the headline.
+            # stdout carries exactly one JSON line: the contract record.
+            log(json.dumps({
                 "metric": "train_throughput_small_vit_fwd_bwd_parity_config",
                 "value": round(parity, 1),
                 "unit": "volumes/sec/chip",
                 "note": "pool=cls gelu=erf (exact reference semantics)",
-            }), flush=True)
+            }))
         except Exception as exc:  # diagnostics — never break the contract
             log(f"parity-config bench failed: {exc}")
     elif elapsed >= 300.0:

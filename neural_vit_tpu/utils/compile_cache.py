@@ -20,10 +20,38 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def _cpu_feature_tag() -> str:
+    """Machine-feature key for CPU cache directories.
+
+    XLA:CPU persistent-cache entries embed AOT-compiled machine code for
+    the HOST's exact CPU feature set — loading an entry produced on a
+    different machine logs "could lead to execution errors such as SIGILL"
+    and can crash mid-run. (TPU executables have no such coupling: they
+    target the remote chip, so sharing/committing them is safe.) Keying
+    the CPU cache path by a hash of the host's CPU flags makes a foreign
+    machine miss cleanly and recompile instead of loading stale AOT code.
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    basis = f"{platform.machine()}|{feats}"
+    return "cpu-" + hashlib.sha256(basis.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Point JAX's persistent compilation cache at `path` (created if
     missing). Respects an existing JAX_COMPILATION_CACHE_DIR / config
-    setting; returns the directory in effect."""
+    setting; returns the directory in effect. On the CPU backend the
+    directory gains a machine-feature-hash suffix (see `_cpu_feature_tag`)."""
     import jax
 
     configured = jax.config.jax_compilation_cache_dir
@@ -34,6 +62,8 @@ def enable_compilation_cache(path: str | None = None) -> str:
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
         or _DEFAULT_DIR
     )
+    if jax.default_backend() == "cpu":
+        cache_dir = os.path.join(cache_dir, _cpu_feature_tag())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache everything, including sub-second compiles: the suite compiles

@@ -264,13 +264,23 @@ def main():
         report["torch_reference_per_seed"] = prior
         report["torch_reference"] = prior[0]
 
+    # Arms are stored under dtype-keyed lists (jax_f32 / jax_bf16) so a
+    # bf16 re-run can never silently displace the f32 arm's entries in the
+    # rewritten artifact. Migrate any legacy flat "jax" list once.
+    def arm_key(dtype):
+        return {"float32": "jax_f32", "bfloat16": "jax_bf16"}.get(
+            dtype, f"jax_{dtype}"
+        )
+
+    if "jax" in report:
+        for e in report.pop("jax"):
+            k = (arm_key(e["compute_dtype"]) if e.get("compute_dtype")
+                 else "jax_untagged")
+            report.setdefault(k, []).append(e)
+
+    this_arm = arm_key(args.compute_dtype)
     if not args.skip_jax:
-        prior_jax = [] if args.reset_jax else report.get("jax", [])
-        # Entries from a different compute dtype (or untagged pre-round-4
-        # entries, which ran bf16 on TPU with the old init) must not be
-        # mixed into this arm's statistics.
-        prior_jax = [e for e in prior_jax
-                     if e.get("compute_dtype") == args.compute_dtype]
+        prior_jax = [] if args.reset_jax else report.get(this_arm, [])
         done_jax = {e.get("seed") for e in prior_jax}
         for seed in [int(s) for s in args.jax_seeds.split(",")]:
             if seed in done_jax:
@@ -279,9 +289,9 @@ def main():
             prior_jax.append(run_jax(pre, args, seed))
             print(json.dumps({k: v for k, v in prior_jax[-1].items()
                               if k != "history"}), flush=True)
-        report["jax"] = prior_jax
+        report[this_arm] = prior_jax
 
-    if report.get("torch_reference_per_seed") and report.get("jax"):
+    if report.get("torch_reference_per_seed") and report.get(this_arm):
         mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
         spread = lambda xs: (max(xs) - min(xs)) if len(xs) > 1 else 0.0  # noqa: E731
 
@@ -292,7 +302,7 @@ def main():
             return mean(aucs[-5:])
 
         tor = report["torch_reference_per_seed"]
-        jx = report["jax"]
+        jx = report[this_arm]
         stats = {}
         for name, get in (("best_val_auc", lambda e: e["best_val_auc"]),
                           ("last5_val_auc", last5),
@@ -335,6 +345,8 @@ def main():
         enough = len(tv) >= 5 and len(jv) >= 5
         report["comparison"] = {
             **stats,
+            "jax_arm": this_arm,
+            "jax_arm_compute_dtype": args.compute_dtype,
             "gate": "|mean_torch - mean_jax| (best_val_auc) <= 0.01 with "
                     ">=5 seeds per side; bootstrap CI reported as evidence "
                     "only",
