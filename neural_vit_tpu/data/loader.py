@@ -65,6 +65,14 @@ class DataLoaderConfig:
     # bit-identical logits (bf16 also halves HBM residency; set "float32"
     # for f32-compute models).
     tile_dtype: str = "bfloat16"
+    # Path to a .npz with an int array `orders` of shape (epochs, n_seq):
+    # the train iterator replays row e as epoch e's exact sample order
+    # instead of drawing its own shuffle. Cross-implementation A/B tool —
+    # the paired parity experiment records the torch DataLoader's realized
+    # sample order and replays it here so both arms consume identical
+    # batches. Shuffled (train) iterators only; an epoch beyond the
+    # schedule is an error, never a silent fallback to fresh shuffling.
+    order_schedule_path: Optional[str] = None
 
 
 def _cell_to_array(cell) -> np.ndarray:
@@ -411,6 +419,16 @@ class BatchIterator:
         self.batch_sharding = batch_sharding
         self._epoch = 0
         self._skip_next = 0
+        self._order_schedule = None
+        if shuffle and cfg.order_schedule_path:
+            self._order_schedule = np.load(cfg.order_schedule_path)["orders"]
+            if self._order_schedule.ndim != 2 or (
+                self._order_schedule.shape[1] != len(dataset)
+            ):
+                raise ValueError(
+                    f"order schedule {self._order_schedule.shape} does not "
+                    f"match the dataset ({len(dataset)} sequences)"
+                )
         self._device_resident = (
             cfg.device_resident and hasattr(dataset, "to_device")
         )
@@ -477,7 +495,14 @@ class BatchIterator:
     def __iter__(self) -> Iterator[Tuple[jax.Array, jax.Array, np.ndarray]]:
         n = len(self.ds)
         order = np.arange(n)
-        if self.shuffle:
+        if self._order_schedule is not None:
+            if self._epoch >= self._order_schedule.shape[0]:
+                raise ValueError(
+                    f"epoch {self._epoch} beyond the recorded order "
+                    f"schedule ({self._order_schedule.shape[0]} epochs)"
+                )
+            order = self._order_schedule[self._epoch].astype(np.int64)
+        elif self.shuffle:
             rng = np.random.default_rng(self.cfg.seed + self._epoch)
             rng.shuffle(order)
         self._epoch += 1

@@ -351,6 +351,34 @@ def test_loaders_verify_gates(pipeline_dirs):
     assert sorted(np.concatenate(e1)) == sorted(np.concatenate(e2))
 
 
+def test_order_schedule_replay(pipeline_dirs, tmp_path):
+    """A recorded .npz order schedule is replayed verbatim per epoch (the
+    paired parity experiment feeds the torch DataLoader's realized sample
+    order through this), and running past the schedule is an error."""
+    _, out, _, _ = pipeline_dirs
+    ds = SpectrogramDataset.from_parquet([out["val"]], n_trials=4, stride=4)
+    n = len(ds)
+    rng = np.random.default_rng(7)
+    orders = np.stack([rng.permutation(n) for _ in range(2)])
+    path = tmp_path / "orders.npz"
+    np.savez(path, orders=orders)
+    it = BatchIterator(
+        ds,
+        DataLoaderConfig(batch_size=4, order_schedule_path=str(path)),
+        shuffle=True,
+    )
+    for e in range(2):
+        batches = list(it)
+        labs = np.concatenate([np.asarray(l)[m] for _, l, m in batches])
+        np.testing.assert_array_equal(labs, ds.index.labels[orders[e]])
+        first_rows = ds.index.indices[orders[e][0]]
+        np.testing.assert_allclose(
+            np.asarray(batches[0][0])[0], ds.specs[first_rows]
+        )
+    with pytest.raises(ValueError, match="beyond the recorded order"):
+        next(iter(it))
+
+
 def test_host_mode_matches_device_mode(pipeline_dirs):
     _, out, _, _ = pipeline_dirs
     ds = SpectrogramDataset.from_parquet([out["val"]], n_trials=4, stride=4)

@@ -243,45 +243,15 @@ def test_logits_match_reference_torch():
     )
     model, variables, _ = _init(jcfg)
 
-    # Port torch weights → flax param tree.
-    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    p = jax.tree_util.tree_map(np.asarray, variables["params"])
-    d = jcfg.embed_dim
-    p["patch_embed"]["kernel"] = sd["patch_embed.weight"].reshape(d, -1).T
-    p["patch_embed"]["bias"] = sd["patch_embed.bias"]
-    p["pos_embed_k"] = sd["pos_embed_k"][0]
-    p["pos_embed_f"] = sd["pos_embed_f"][0]
-    p["pos_embed_t"] = sd["pos_embed_t"][0]
-    p["cls_token"] = sd["cls_token"]
-    for i in range(jcfg.n_layers):
-        b = p[f"block_{i}"]
-        t = f"blocks.{i}."
-        b["norm1"]["scale"] = sd[t + "norm1.weight"]
-        b["norm1"]["bias"] = sd[t + "norm1.bias"]
-        # torch weight (3D, D) → flax DenseGeneral kernel (D, 3, D): the
-        # transpose is the (D, 3D) Dense kernel whose columns pack
-        # [q | k | v]; the reshape just names the (3, D) column grouping.
-        d_embed = jcfg.embed_dim
-        b["attn"]["qkv"]["kernel"] = (
-            sd[t + "attn.qkv.weight"].T.reshape(d_embed, 3, d_embed)
-        )
-        b["attn"]["qkv"]["bias"] = sd[t + "attn.qkv.bias"].reshape(3, d_embed)
-        b["attn"]["proj"]["kernel"] = sd[t + "attn.proj.weight"].T
-        b["attn"]["proj"]["bias"] = sd[t + "attn.proj.bias"]
-        b["ls1"]["gamma"] = sd[t + "ls1.gamma"]
-        b["norm2"]["scale"] = sd[t + "norm2.weight"]
-        b["norm2"]["bias"] = sd[t + "norm2.bias"]
-        b["mlp"]["fc1"]["kernel"] = sd[t + "mlp.fc1.weight"].T
-        b["mlp"]["fc1"]["bias"] = sd[t + "mlp.fc1.bias"]
-        b["mlp"]["fc2"]["kernel"] = sd[t + "mlp.fc2.weight"].T
-        b["mlp"]["fc2"]["bias"] = sd[t + "mlp.fc2.bias"]
-        b["ls2"]["gamma"] = sd[t + "ls2.gamma"]
-    p["norm"]["scale"] = sd["norm.weight"]
-    p["norm"]["bias"] = sd["norm.bias"]
-    p["head_fc1"]["kernel"] = sd["head.0.weight"].T
-    p["head_fc1"]["bias"] = sd["head.0.bias"]
-    p["head_fc2"]["kernel"] = sd["head.3.weight"].T
-    p["head_fc2"]["bias"] = sd["head.3.bias"]
+    # Port torch weights → flax param tree via the shared transplant
+    # utility (the paired parity experiment depends on this exact path).
+    from neural_vit_tpu.utils.transplant import (
+        assert_same_tree,
+        torch_state_dict_to_flax,
+    )
+
+    p = torch_state_dict_to_flax(tmodel.state_dict())
+    assert_same_tree(variables["params"], p)
 
     rng = np.random.default_rng(3)
     x = rng.standard_normal(
