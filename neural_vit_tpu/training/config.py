@@ -80,6 +80,13 @@ class TrainConfig:
     # worth raising (or 0 ⇒ off) on slow transports where it would tax every
     # epoch for runs that never get preempted.
     latest_checkpoint_every: int = 1  # 0 ⇒ no full-state checkpoints
+    # Pause the run after this epoch (1-based, inclusive) while keeping the
+    # LR schedule keyed to `epochs`: the loop saves the "latest" full-state
+    # checkpoint and returns without the test eval, exactly like a
+    # preemption pause but driver-initiated. Successive-halving HP search
+    # trains rung k to its budget, promotes, and RESUMES the survivors from
+    # that checkpoint — each trial's trajectory is one continuous run.
+    stop_after_epoch: Optional[int] = None
     # Catch SIGTERM (GCE/TPU-VM eviction) — or a programmatic
     # `utils.preemption.request_preemption()` from a metadata watcher —
     # checkpoint the full train state MID-EPOCH at the next step boundary

@@ -488,6 +488,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
     history = []
     results: Dict = {}
     preempted = False
+    stopped_early = False
     train_it.set_epoch(start_epoch - 1)  # replay the exact shuffle sequence
     if resume_skip:
         train_it.skip_next(resume_skip)
@@ -649,6 +650,35 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
                 )
                 break
 
+            if (
+                cfg.stop_after_epoch
+                and epoch >= cfg.stop_after_epoch
+                and epoch < cfg.epochs
+            ):
+                # Driver-initiated pause (successive-halving rung budget):
+                # the run resumes later from the "latest" full-state
+                # checkpoint, so one must exist at exactly this epoch.
+                if checkpoint_dir and not (
+                    cfg.latest_checkpoint_every > 0
+                    and epoch % cfg.latest_checkpoint_every == 0
+                ):
+                    save_train_checkpoint(
+                        checkpoint_dir, "latest", state, model_config,
+                        loop_state={
+                            "epoch": epoch,
+                            "dropout_seed": dropout_seed,
+                            "best_val_acc": best["val_acc"],
+                            "best_val_auc": best["val_auc"],
+                            "epochs_without_improvement":
+                                epochs_without_improvement,
+                        },
+                        block=False,
+                    )
+                stopped_early = True
+                print(f"Paused after epoch {epoch} "
+                      f"(stop_after_epoch={cfg.stop_after_epoch})")
+                break
+
         if preempted:
             # Eviction grace windows are short: no test eval, no final
             # params-only checkpoint — the "latest" full-state checkpoint
@@ -656,6 +686,20 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             results = {
                 "run_id": run_id,
                 "preempted": True,
+                "epochs_trained": epochs_trained,
+                "best_val_acc": best["val_acc"],
+                "best_val_auc": best["val_auc"],
+                "history": history,
+                "n_params": n_params,
+            }
+            if checkpoint_dir:
+                results["resume_checkpoint"] = f"{checkpoint_dir}/latest"
+        elif stopped_early:
+            # Rung pause: no test eval (the trial may be killed, not
+            # promoted — test stays untouched until a full run finishes).
+            results = {
+                "run_id": run_id,
+                "stopped_early": True,
                 "epochs_trained": epochs_trained,
                 "best_val_acc": best["val_acc"],
                 "best_val_auc": best["val_auc"],
@@ -699,7 +743,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             clear_preemption()
         logger.close()
 
-    if preempted:
+    if preempted or stopped_early:
         return results
     if checkpoint_dir:
         final = save_checkpoint(
