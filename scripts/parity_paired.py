@@ -352,7 +352,10 @@ def main():
                     help="minutes-scale plumbing check (tiny data, 2 epochs)")
     args = ap.parse_args()
 
-    if args.jax_platform:
+    if args.jax_platform and args.jax_platform != "tpu":
+        # 'tpu' must stay UNFORCED: the axon tunnel registers as the
+        # default backend, while jax_platforms='tpu' selects the local
+        # libtpu plugin, which has no device here ("No jellyfish device").
         import jax
 
         jax.config.update("jax_platforms", args.jax_platform)
@@ -372,6 +375,9 @@ def main():
         args.sessions, args.trials, args.epochs = 16, 48, 2
         args.seeds = "0"
         args.workdir += "_smoke"
+        # A smoke pass must never seed the real artifact: its 2-epoch
+        # entries would make the full run skip those seeds as "done".
+        args.outdir = args.outdir.rstrip("/") + "/smoke"
 
     # Reuse the unpaired experiment's dataset builder (same calibrated
     # synthetic profile, seed-42 splits, our preprocessing for both arms).
