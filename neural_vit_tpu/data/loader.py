@@ -419,6 +419,25 @@ class BatchIterator:
         self.batch_sharding = batch_sharding
         self._epoch = 0
         self._skip_next = 0
+        # Multi-process (multi-host slice): no process can device_put the
+        # full global batch — each host feeds only the rows its
+        # addressable devices own and the batch is stitched into one
+        # global jax.Array (parallel/multihost.py). Host mode only: the
+        # device-resident replicated spec array would equally need every
+        # process to address every device.
+        self._multiprocess = (
+            batch_sharding is not None and jax.process_count() > 1
+        )
+        if self._multiprocess:
+            import dataclasses as _dc
+
+            from neural_vit_tpu.parallel.multihost import local_batch_rows
+
+            cfg = _dc.replace(cfg, device_resident=False)
+            self._local_rows = local_batch_rows(
+                batch_sharding, cfg.batch_size
+            )
+            self.cfg = cfg
         self._order_schedule = None
         if shuffle and cfg.order_schedule_path:
             self._order_schedule = np.load(cfg.order_schedule_path)["orders"]
@@ -488,6 +507,11 @@ class BatchIterator:
         idx = self._window_indices[sel]
         labels = self.ds.index.labels[sel]
         idx, labels, mask = _pad_batch(idx, labels, self.cfg.batch_size)
+        if self._multiprocess:
+            # Decode/gather ONLY the rows this process's devices own.
+            return idx, labels, mask, self.ds.gather_rows(
+                idx[self._local_rows]
+            )
         if self._device_resident:
             return idx, labels, mask, None
         return idx, labels, mask, self.ds.gather_rows(idx)
@@ -515,6 +539,18 @@ class BatchIterator:
 
         def emit(prepared):
             idx, labels, mask, host_vol = prepared
+            if self._multiprocess:
+                from neural_vit_tpu.parallel.multihost import (
+                    global_from_local,
+                )
+
+                lr = self._local_rows
+                vol = global_from_local(self.batch_sharding, host_vol)
+                lab = global_from_local(self.batch_sharding, labels[lr])
+                msk = global_from_local(
+                    self.batch_sharding, mask[lr].astype(np.float32)
+                )
+                return vol, lab, msk
             if self._device_resident:
                 vol = self._gather(jnp.asarray(idx))
             else:

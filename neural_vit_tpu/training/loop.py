@@ -241,10 +241,59 @@ def make_step_fns(model: Temporal3DViT, class_weights, label_smoothing: float,
     return train_step, eval_step
 
 
+def _host_labels(labels, mask) -> Tuple[np.ndarray, np.ndarray]:
+    """(labels, mask) as THIS PROCESS's host rows. Single process: the full
+    batch. Multi-host: only the rows this process's devices own (global
+    arrays can't be fetched whole by one process) — `_finalize_epoch`
+    allgathers them before the AUC."""
+    from neural_vit_tpu.parallel.multihost import local_shards_np
+
+    return local_shards_np(labels), np.asarray(local_shards_np(mask), bool)
+
+
 def _finalize_epoch(metric_batches, label_batches) -> Dict[str, float]:
     """One host transfer per epoch: `device_get` fetches every accumulated
     per-batch metric (scalars and prob vectors) in a single D2H trip, then
-    reduction happens in numpy."""
+    reduction happens in numpy.
+
+    Multi-host: the loss/acc sums are replicated scalars (already global —
+    the jitted step reduces over the global batch), while prob rows are
+    sharded across hosts; each process fetches its local rows and a
+    `process_allgather` assembles identical AUC inputs everywhere."""
+    if jax.process_count() > 1:
+        from neural_vit_tpu.parallel.multihost import (
+            allgather_rows,
+            local_shards_np,
+        )
+
+        loss_sum = float(sum(float(m["loss_sum"]) for m in metric_batches))
+        correct = float(sum(float(m["correct"]) for m in metric_batches))
+        total = float(sum(float(m["n_valid"]) for m in metric_batches))
+        # Gather FIXED-SIZE per-process rows and mask AFTER: masking before
+        # the gather makes per-process shapes diverge on padded batches
+        # (one host can own only pad rows → a (0,)-shaped contribution),
+        # and a shape-mismatched process_allgather deadlocks — the
+        # empty-side process skips the collective the other is blocked in.
+        probs, labels, masks = [], [], []
+        for m, (lab, mask) in zip(metric_batches, label_batches):
+            probs.append(local_shards_np(m["probs"]))
+            labels.append(lab)
+            masks.append(mask)
+        cat = lambda xs, dt: (  # noqa: E731
+            np.concatenate(xs) if xs else np.zeros((0,), dt)
+        )
+        probs = allgather_rows(cat(probs, np.float32))
+        labels = allgather_rows(cat(labels, np.int64))
+        valid = allgather_rows(cat(masks, bool).astype(np.int8)).astype(bool)
+        probs, labels = probs[valid], labels[valid]
+        try:
+            auc = float(roc_auc_score(labels, probs))
+        except ValueError:
+            auc = float("nan")
+        if total == 0.0:
+            return {"loss": float("nan"), "acc": float("nan"), "auc": auc}
+        return {"loss": loss_sum / total, "acc": correct / total, "auc": auc}
+
     metric_batches = jax.device_get(metric_batches)
     loss_sum = float(sum(m["loss_sum"] for m in metric_batches))
     correct = float(sum(m["correct"] for m in metric_batches))
@@ -282,7 +331,7 @@ def evaluate(
     for vol, labels, mask in iterator:
         m = eval_step(params, vol, labels, mask)
         metric_batches.append(m)
-        label_batches.append((np.asarray(labels), mask))
+        label_batches.append(_host_labels(labels, mask))
     return _finalize_epoch(metric_batches, label_batches)
 
 
@@ -510,7 +559,7 @@ def train(cfg: TrainConfig, *, epoch_callback=None) -> Dict:
             for k, (vol, labels, mask) in enumerate(train_it):
                 state, m = train_step(state, vol, labels, mask, dropout_rng)
                 metric_batches.append(m)
-                label_batches.append((np.asarray(labels), mask))
+                label_batches.append(_host_labels(labels, mask))
                 if guard.requested:
                     if checkpoint_dir:
                         save_train_checkpoint(

@@ -251,7 +251,7 @@ def transplant_and_check(pre, args, seed, dims, init_npz):
 
 
 # ------------------------------------------------------------------ jax arm
-def run_jax_paired(pre, args, seed, ckpt_path, orders_npz):
+def run_jax_paired(pre, args, seed, ckpt_path, orders_npz, flash=True):
     """Our production train() warm-started from the transplanted torch init,
     replaying the torch arm's exact batch order."""
     from neural_vit_tpu.data.loader import DataLoaderConfig
@@ -260,10 +260,11 @@ def run_jax_paired(pre, args, seed, ckpt_path, orders_npz):
 
     t0 = time.perf_counter()
     results = train(TrainConfig(
+        use_flash_attention=flash,
         train_paths=[pre["train"]], val_paths=[pre["val"]],
         test_paths=[pre["test"]],
         output_dir=f"{args.workdir}/jax_runs",
-        run_name=f"paired-jax-{seed}",
+        run_name=f"paired-{args.arm}-{seed}",
         epochs=args.epochs, lr=3e-4, weight_decay=0.01,
         label_smoothing=0.05,
         n_trials=8, stride=4,
@@ -300,21 +301,22 @@ def run_jax_paired(pre, args, seed, ckpt_path, orders_npz):
 
 
 # -------------------------------------------------------------------- main
-def summarize(report):
+def summarize(report, arm="jax"):
     pairs = [p for p in report["pairs"]
-             if p.get("torch") and p.get("jax")]
+             if p.get("torch") and p.get(arm)]
     if not pairs:
         return
-    deltas = [p["torch"]["best_val_auc"] - p["jax"]["best_val_auc"]
+    deltas = [p["torch"]["best_val_auc"] - p[arm]["best_val_auc"]
               for p in pairs]
-    d5 = [p["torch"]["last5_val_auc"] - p["jax"]["last5_val_auc"]
+    d5 = [p["torch"]["last5_val_auc"] - p[arm]["last5_val_auc"]
           for p in pairs]
     n = len(deltas)
     mean = sum(deltas) / n
     var = (sum((d - mean) ** 2 for d in deltas) / (n - 1)) if n > 1 else 0.0
     sd = var ** 0.5
     sem = sd / n ** 0.5 if n > 1 else float("nan")
-    report["comparison"] = {
+    comparison = {
+        "arm": arm,
         "design": "paired per seed: identical torch init (transplanted) + "
                   "identical batch order (recorded/replayed); residual "
                   "noise = dropout mask streams only",
@@ -327,7 +329,10 @@ def summarize(report):
         "mean_delta_last5_val_auc": sum(d5) / n,
         "pass": bool(n >= 5 and abs(mean) <= 0.01),
     }
-    print(json.dumps(report["comparison"], indent=2), flush=True)
+    report.setdefault("comparisons", {})[arm] = comparison
+    if arm == "jax":
+        report["comparison"] = comparison
+    print(json.dumps(comparison, indent=2), flush=True)
 
 
 def main():
@@ -341,6 +346,17 @@ def main():
     ap.add_argument("--seeds", default="0,1,2,3,4")
     ap.add_argument("--workdir", default="/tmp/parity_paired")
     ap.add_argument("--outdir", default="demo_results")
+    ap.add_argument("--arm", default="jax",
+                    help="artifact key for the JAX arm — mechanism "
+                         "isolation runs store side arms (e.g. "
+                         "'jax_noflash') next to the default without "
+                         "touching its pairs")
+    ap.add_argument("--no-flash", action="store_true",
+                    help="disable the flash-attention kernel (XLA "
+                         "attention path): isolates the flash TRAIN path "
+                         "(in-kernel counter-hash attention dropout + "
+                         "custom-VJP backward) as a mechanism, since eval "
+                         "logit parity is exact either way")
     ap.add_argument("--compute-dtype", default="float32",
                     help="JAX-side compute dtype; the torch arm is f32 CPU, "
                          "so the matched config is float32")
@@ -415,21 +431,24 @@ def main():
             print(json.dumps({k: v for k, v in entry.items()
                               if k != "history"}), flush=True)
             save()
-        if not pair.get("jax"):
-            print(f"=== jax arm (paired), seed {seed} ===", flush=True)
+        if not pair.get(args.arm):
+            print(f"=== {args.arm} arm (paired), seed {seed} ===",
+                  flush=True)
             ckpt = transplant_and_check(
                 pre, args, seed, tuple(pair["dims"]), pair["init_npz"]
             )
-            pair["jax"] = run_jax_paired(
-                pre, args, seed, ckpt, pair["orders_npz"]
+            pair[args.arm] = run_jax_paired(
+                pre, args, seed, ckpt, pair["orders_npz"],
+                flash=not args.no_flash,
             )
-            pair["delta_best_val_auc"] = (
-                pair["torch"]["best_val_auc"] - pair["jax"]["best_val_auc"]
+            pair[f"delta_best_val_auc_{args.arm}"] = (
+                pair["torch"]["best_val_auc"]
+                - pair[args.arm]["best_val_auc"]
             )
-            print(json.dumps({k: v for k, v in pair["jax"].items()
+            print(json.dumps({k: v for k, v in pair[args.arm].items()
                               if k != "history"}), flush=True)
             save()
-        summarize(report)
+        summarize(report, args.arm)
         save()
     print(f"report → {out_path}", flush=True)
 
