@@ -258,9 +258,27 @@ def run_jax_paired(pre, args, seed, ckpt_path, orders_npz, flash=True):
     from neural_vit_tpu.training.config import TrainConfig
     from neural_vit_tpu.training.loop import train
 
+    if getattr(args, "exact_dropout", False):
+        # Mechanism-isolation arm: exact jax.random.bernoulli dropout in
+        # place of the 8-bit bandwidth-lean path (ops/dropout.py) — same
+        # expectation, different realized mask distribution.
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        import neural_vit_tpu.models.vit as _vit
+
+        def _exact_dropout(x, rate, *, rng=None, deterministic=True):
+            if deterministic or rate == 0.0:
+                return x
+            keep = _jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+            return _jnp.where(keep, x / (1.0 - rate), 0).astype(x.dtype)
+
+        _vit.fused_dropout = _exact_dropout
+
     t0 = time.perf_counter()
     results = train(TrainConfig(
         use_flash_attention=flash,
+        prng_impl=getattr(args, "prng_impl", "rbg"),
         train_paths=[pre["train"]], val_paths=[pre["val"]],
         test_paths=[pre["test"]],
         output_dir=f"{args.workdir}/jax_runs",
@@ -357,6 +375,12 @@ def main():
                          "(in-kernel counter-hash attention dropout + "
                          "custom-VJP backward) as a mechanism, since eval "
                          "logit parity is exact either way")
+    ap.add_argument("--prng-impl", default="rbg",
+                    help="JAX PRNG impl for the dropout stream (mechanism "
+                         "arm: 'threefry' vs the default hardware 'rbg')")
+    ap.add_argument("--exact-dropout", action="store_true",
+                    help="mechanism arm: exact bernoulli dropout instead "
+                         "of the 8-bit fused path")
     ap.add_argument("--compute-dtype", default="float32",
                     help="JAX-side compute dtype; the torch arm is f32 CPU, "
                          "so the matched config is float32")
