@@ -176,7 +176,7 @@ def run_torch_recorded(pre, args, seed):
 
 
 # ------------------------------------------------------- transplant + check
-def transplant_and_check(pre, args, seed, dims, init_npz):
+def transplant_and_check(pre, args, seed, dims, init_npz, flash=True):
     """torch init → flax params; assert logit parity on real data; save a
     warm-start checkpoint our train() resumes from. Returns its path."""
     import jax
@@ -202,6 +202,7 @@ def transplant_and_check(pre, args, seed, dims, init_npz):
         model_size="tiny", n_trials=8, stride=4,
         dropout=0.2, attention_dropout=0.1, drop_path=0.1,
         gelu="erf", pool="cls", compute_dtype=args.compute_dtype,
+        use_flash_attention=flash,
     )
     mcfg = build_model_config(tc, freq_size, time_size)
     model = Temporal3DViT(mcfg)
@@ -244,7 +245,7 @@ def transplant_and_check(pre, args, seed, dims, init_npz):
     print(f"[seed {seed}] transplant logit parity ok: max|Δ|={err:.2e}",
           flush=True)
 
-    ckpt_dir = f"{args.workdir}/paired/ckpt_{seed}"
+    ckpt_dir = f"{args.workdir}/paired/ckpt_{seed}_{args.arm}"
     path = save_checkpoint(ckpt_dir, "transplant", params, mcfg,
                            extra={"source": "torch-init", "seed": seed})
     return path
@@ -328,6 +329,16 @@ def summarize(report, arm="jax"):
               for p in pairs]
     d5 = [p["torch"]["last5_val_auc"] - p[arm]["last5_val_auc"]
           for p in pairs]
+
+    def epoch_mean(e):
+        aucs = [h["val_auc"] for h in e["history"]]
+        return sum(aucs) / len(aucs)
+
+    # Epoch-mean val AUC: best-val is a max over ~15 draws with per-epoch
+    # noise σ≈0.03-0.04, so its paired delta stays noisy even with init
+    # and data matched; the epoch mean averages that noise and is the
+    # sharpest detector of a systematic training-dynamics difference.
+    dmean = [epoch_mean(p["torch"]) - epoch_mean(p[arm]) for p in pairs]
     n = len(deltas)
     mean = sum(deltas) / n
     var = (sum((d - mean) ** 2 for d in deltas) / (n - 1)) if n > 1 else 0.0
@@ -345,6 +356,8 @@ def summarize(report, arm="jax"):
         "sd_delta": sd,
         "sem_delta": sem,
         "mean_delta_last5_val_auc": sum(d5) / n,
+        "paired_deltas_epoch_mean_val_auc": dmean,
+        "mean_delta_epoch_mean_val_auc": sum(dmean) / n,
         "pass": bool(n >= 5 and abs(mean) <= 0.01),
     }
     report.setdefault("comparisons", {})[arm] = comparison
@@ -459,7 +472,8 @@ def main():
             print(f"=== {args.arm} arm (paired), seed {seed} ===",
                   flush=True)
             ckpt = transplant_and_check(
-                pre, args, seed, tuple(pair["dims"]), pair["init_npz"]
+                pre, args, seed, tuple(pair["dims"]), pair["init_npz"],
+                flash=not args.no_flash,
             )
             pair[args.arm] = run_jax_paired(
                 pre, args, seed, ckpt, pair["orders_npz"],
