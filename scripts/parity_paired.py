@@ -294,7 +294,7 @@ def run_jax_paired(pre, args, seed, ckpt_path, orders_npz, flash=True):
         use_cosine_schedule=False,           # basic train() has no scheduler
         early_stopping_patience=0,           # fixed epochs, like train.py
         checkpoint_metric="val_acc",         # reference train.py:265
-        seed=seed,
+        seed=seed + getattr(args, "seed_offset", 0),
         resume_from=ckpt_path,
         loader=DataLoaderConfig(
             batch_size=args.batch, order_schedule_path=orders_npz
@@ -388,6 +388,12 @@ def main():
                          "(in-kernel counter-hash attention dropout + "
                          "custom-VJP backward) as a mechanism, since eval "
                          "logit parity is exact either way")
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="offset added to the JAX arm's seed (dropout "
+                         "stream ONLY — init and batch order stay the "
+                         "torch record's): a replicate arm at a nonzero "
+                         "offset measures the pure mask-stream noise "
+                         "floor of the paired deltas")
     ap.add_argument("--prng-impl", default="rbg",
                     help="JAX PRNG impl for the dropout stream (mechanism "
                          "arm: 'threefry' vs the default hardware 'rbg')")
