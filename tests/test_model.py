@@ -295,3 +295,51 @@ def test_init_distributions_match_torch_defaults():
 
     lin_b = np.asarray(params["block_0"]["attn"]["qkv"]["bias"])
     assert np.all(lin_b == 0.0)  # Linear biases ARE zeroed by the reference
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(_REF, "temporal_vit")),
+    reason="reference checkout not available",
+)
+def test_transplant_no_layerscale_branch():
+    """layer_scale_init=0: the reference swaps LayerScale for nn.Identity
+    (dropping ls*.gamma from the state_dict) and our model creates no ls
+    params — the transplant must map that tree too, logit-exactly."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, _REF)
+    try:
+        from temporal_vit.models.model import (
+            Temporal3DViT as TorchViT,
+            Temporal3DViTConfig as TorchCfg,
+        )
+    finally:
+        sys.path.remove(_REF)
+
+    from neural_vit_tpu.utils.transplant import (
+        assert_same_tree,
+        torch_state_dict_to_flax,
+    )
+
+    kwargs = dict(
+        n_trials=4, freq_size=16, time_size=32,
+        patch_trial=2, patch_freq=8, patch_time=8,
+        embed_dim=64, n_heads=2, n_layers=2,
+        dropout=0.0, attention_dropout=0.0, drop_path=0.0,
+        layer_scale_init=0.0,
+    )
+    tmodel = TorchViT(TorchCfg(**kwargs)).eval()
+    assert not any("ls1" in k for k in tmodel.state_dict())
+
+    jcfg = Temporal3DViTConfig(
+        **kwargs, compute_dtype="float32", use_flash_attention=False
+    )
+    model, variables, _ = _init(jcfg)
+    p = torch_state_dict_to_flax(tmodel.state_dict())
+    assert_same_tree(variables["params"], p)
+
+    x = np.random.default_rng(5).standard_normal(
+        (2, jcfg.n_trials, jcfg.freq_size, jcfg.time_size)
+    ).astype(np.float32)
+    ours = np.asarray(model.apply({"params": p}, jnp.asarray(x)))
+    theirs = tmodel(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
